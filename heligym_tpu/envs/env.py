@@ -1,0 +1,231 @@
+"""Functional env core: pure `step` over an EnvState pytree.
+
+This is the TPU-native re-design of the reference Env layer
+(/root/reference/heligym/envs/helicopter.py:192-243): all per-step logic —
+Dryden wind, helicopter RK4, reward, termination, success accounting — is one
+pure jittable function of (EnvState, action). Batching is `jax.vmap`, rollouts
+are `lax.scan`, sharding is a NamedSharding over the batch axis; rendering is
+fully decoupled (a host-side consumer of streamed state).
+
+Step ordering preserved from the reference:
+  1. wind RK4 driven by the *previous* observation's NED velocity/ground
+     altitude (helicopter.py:195-197);
+  2. helicopter RK4 under the freshly produced turbulent wind;
+  3. reward from post-step state + k4 derivatives;
+  4. failed/success accounting with `successed` evaluated BEFORE adding this
+     step's success time (helicopter.py:201-205).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import HeliParams, load_params
+from ..ops import dryden, eom, terrain as terrain_ops
+from ..ops.integrator import rk4, rk4_k4only
+from ..ops.state import HeliState, WindState
+from ..utils.constants import D2R, DT
+from ..utils.math import pi_bound
+from .tasks import Normalizers, Task
+from .trim import TrimResult, trim
+
+OBS_DIM = 17
+ACT_DIM = 4
+
+
+@struct.dataclass
+class ResetSnapshot:
+    """The episode's initial conditions, carried in EnvState so on-device
+    auto-reset needs no host sync and supports per-env randomized trims."""
+    heli: HeliState
+    wind: WindState
+    dots: HeliState
+    obs: jnp.ndarray
+    wind_ned: jnp.ndarray
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-env simulation state — one pytree, trivially checkpointable."""
+    heli: HeliState          # helicopter dynamic state
+    wind: WindState          # Dryden filter state
+    dots: HeliState          # k4 state derivatives of the last step
+    obs: jnp.ndarray         # (17,) last observation
+    wind_ned: jnp.ndarray    # (3,) wind applied at the last step
+    steps: jnp.ndarray       # i32 () step count this episode
+    successed_steps: jnp.ndarray  # i32 () accumulated success steps
+    key: jax.Array           # per-env PRNG key
+    init: ResetSnapshot      # auto-reset target
+
+
+@struct.dataclass
+class StepOutput:
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    truncated: jnp.ndarray
+    failed: jnp.ndarray
+    successed: jnp.ndarray
+    time_up: jnp.ndarray
+
+
+def _accum_steps_until(threshold: float, dt: float, strict: bool) -> int:
+    """Smallest n such that the reference's float64 running sum of n*dt crosses
+    `threshold` (strictly if `strict`). The reference accumulates python-float
+    time (helicopter.py:193,205); we count integer steps and precompute the
+    crossing point exactly, so device comparisons are integer."""
+    acc, n = 0.0, 0
+    limit = int(threshold / dt) + 3
+    while n <= limit:
+        if (acc > threshold) if strict else (acc >= threshold):
+            return n
+        acc += dt
+        n += 1
+    return n
+
+
+@dataclasses.dataclass(frozen=True)
+class HeliEnv:
+    """Static env definition. Instances are cheap, hashable, and close over
+    all parameters so jitted step functions constant-fold everything."""
+    params: HeliParams
+    task: Task
+    terrain: terrain_ops.Terrain
+    wind_params: dryden.WindParams
+    max_time: float = 40.0           # [s] episode wall (helicopter.py:34)
+    dt: float = DT
+    trim_cond: Tuple[Tuple[str, object], ...] = ()
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def build(cls, heli_name: str = "aw109", task: Optional[Task] = None,
+              max_time: float = 40.0, flat_ground: bool = False,
+              trim_cond: Optional[dict] = None) -> "HeliEnv":
+        params = load_params(heli_name)
+        terr = (terrain_ops.flat_terrain(params.ENV) if flat_ground
+                else terrain_ops.load_terrain(params.ENV))
+        return cls(params=params, task=task or Task(), terrain=terr,
+                   wind_params=dryden.WindParams.from_env(params.ENV),
+                   max_time=max_time,
+                   trim_cond=tuple(sorted((trim_cond or {}).items(),
+                                          key=lambda kv: kv[0])))
+
+    def replace(self, **kw) -> "HeliEnv":
+        return dataclasses.replace(self, **kw)
+
+    # -- derived static quantities ---------------------------------------
+    @property
+    def normalizers(self) -> Normalizers:
+        return Normalizers.from_params(self.params)
+
+    @property
+    def success_duration(self) -> float:
+        return self.max_time / 4.0   # helicopter.py:91
+
+    @property
+    def time_up_steps(self) -> int:
+        return _accum_steps_until(self.max_time, self.dt, strict=True)
+
+    @property
+    def success_steps_required(self) -> int:
+        return _accum_steps_until(self.success_duration, self.dt, strict=False)
+
+    def default_trim_cond(self) -> dict:
+        cond = {"yaw": 0.0, "yaw_rate": 0.0, "ned_vel": [0.0, 0.0, 0.0],
+                "gr_alt": 100.0, "xy": [0.0, 0.0], "psi_mr": 0.0, "psi_tr": 0.0}
+        cond.update(dict(self.trim_cond))
+        return cond
+
+    # -- physics sub-steps -------------------------------------------------
+    def heli_step(self, heli: HeliState, action, wind_ned):
+        """One helicopter RK4 step + post-step angle wrap
+        (dynamics.py:158-171, helicopter_dynamics.py:73-77)."""
+        h_ground = terrain_ops.ground_height(self.terrain, heli.xyz)
+
+        def f(s):
+            dots, obs, _ = eom.heli_dynamics(self.params, s, action, wind_ned, h_ground)
+            return dots, obs
+
+        new, k4, obs = rk4(f, heli, self.dt)
+        new = new.replace(psi_mr=pi_bound(new.psi_mr), psi_tr=pi_bound(new.psi_tr),
+                          betas=pi_bound(new.betas), euler=pi_bound(new.euler))
+        return new, k4, obs
+
+    def wind_step(self, wind: WindState, wind_action, eta):
+        """One Dryden step with the reference's aliased-k4 integrator."""
+        def f(s):
+            dots, obs = dryden.wind_dynamics(self.wind_params, s, wind_action, eta)
+            return dots, obs
+
+        new, _, wind_ned = rk4_k4only(f, wind, self.dt)
+        return new, wind_ned
+
+    # -- the env step ------------------------------------------------------
+    def step(self, es: EnvState, action) -> Tuple[EnvState, StepOutput]:
+        """Pure env transition (single env; vmap for batches)."""
+        key, eta_key = jax.random.split(es.key)
+        eta = jax.random.normal(eta_key, (3,), dtype=jnp.float32) * (1.0 / self.dt) ** 0.5
+
+        wind_action = jnp.concatenate([es.obs[4:7], es.obs[16:17]], axis=-1)
+        wind_new, wind_ned = self.wind_step(es.wind, wind_action, eta)
+        heli_new, dots, obs = self.heli_step(es.heli, action, wind_ned)
+
+        reward, success_step = self.task.reward(self.normalizers, heli_new, dots)
+        steps = es.steps + 1
+
+        failed = self._is_failed(heli_new, dots)
+        successed = es.successed_steps >= self.success_steps_required
+        time_up = steps >= self.time_up_steps
+        done = failed | successed
+        successed_steps = es.successed_steps + success_step.astype(jnp.int32)
+
+        new_es = EnvState(heli=heli_new, wind=wind_new, dots=dots, obs=obs,
+                          wind_ned=wind_ned, steps=steps,
+                          successed_steps=successed_steps, key=key, init=es.init)
+        out = StepOutput(obs=obs, reward=reward, done=done, truncated=time_up,
+                         failed=failed, successed=successed, time_up=time_up)
+        return new_es, out
+
+    def _is_failed(self, heli: HeliState, dots: HeliState):
+        """Crash / out-of-bounds detection (helicopter.py:226-234). The roll
+        and pitch comparisons are signed, as in the reference."""
+        p = self.params
+        touch_alt = terrain_ops.ground_touching_altitude(p, self.terrain, heli.xyz)
+        cond1 = (-heli.xyz[2]) - touch_alt < 0.0
+        cond2 = dots.xyz[2] > p.MR.V_TIP * 0.05
+        cond3 = heli.euler[0] > 60.0 * D2R
+        cond4 = heli.euler[1] > 60.0 * D2R
+        cond5 = ((jnp.abs(heli.xyz[0]) > p.ENV.NS_MAX / 2.0)
+                 | (jnp.abs(heli.xyz[1]) > p.ENV.EW_MAX / 2.0)
+                 | ((-heli.xyz[2]) > touch_alt + 10000.0))
+        return (cond1 & (cond2 | cond3 | cond4)) | cond5
+
+    # -- reset -------------------------------------------------------------
+    def trim_result(self, trim_cond: Optional[dict] = None) -> TrimResult:
+        cond = self.default_trim_cond()
+        cond.update(trim_cond or {})
+        return trim(self.params, self.terrain, dryden.mean_wind(self.wind_params), cond)
+
+    def reset_from_trim(self, tr: TrimResult, key) -> Tuple[EnvState, jnp.ndarray]:
+        """EnvState at a solved trim point (reference reset, helicopter.py:208-217).
+        Like the very first reference reset, the trim was computed under the
+        mean wind; Dryden filter states start at zero."""
+        # Trim solves on the host CPU; move the result to the default backend
+        # so subsequent jitted steps compile for the accelerator.
+        tr = jax.device_put(tr, jax.devices()[0])
+        snap = ResetSnapshot(heli=tr.state, wind=WindState.zeros(), dots=tr.dots,
+                             obs=tr.obs, wind_ned=dryden.mean_wind(self.wind_params))
+        es = EnvState(heli=tr.state, wind=snap.wind, dots=tr.dots,
+                      obs=tr.obs, wind_ned=snap.wind_ned,
+                      steps=jnp.zeros((), jnp.int32),
+                      successed_steps=jnp.zeros((), jnp.int32), key=key,
+                      init=snap)
+        return es, tr.obs
+
+    def reset(self, key, trim_cond: Optional[dict] = None) -> Tuple[EnvState, jnp.ndarray]:
+        """Host-side trim solve + state assembly."""
+        return self.reset_from_trim(self.trim_result(trim_cond), key)

@@ -1,0 +1,171 @@
+"""Gymnasium-compatible single-env wrappers (drop-in for the reference API).
+
+Parity target: /root/reference/heligym/envs/helicopter.py (class Heli) and
+helicopter_with_tasks.py (HeliHover / HeliForwardFlight), plus the
+HeliObliqueFlight the reference README promises but never ships.
+
+Differences by design:
+  * the renderer is created lazily on the first `render()` call instead of in
+    `__init__` (the reference opens a GL window even for headless training,
+    SURVEY.md §3.1 — an init-time coupling deliberately not copied);
+  * `reset(seed=...)` follows the gymnasium seeding API; the reference had no
+    seeding hook at all (its Dryden noise came from the global numpy RNG).
+"""
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+from gymnasium import spaces
+from gymnasium.utils import EzPickle
+
+from ..utils.constants import DT, FPS
+from .env import ACT_DIM, OBS_DIM, HeliEnv
+from .tasks import ForwardFlightTask, HoverTask, ObliqueFlightTask, Task
+
+
+class Heli(gym.Env, EzPickle):
+    """Single-env gymnasium interface over the jitted functional core."""
+
+    metadata = {
+        "render_modes": ["human", "rgb_array"],
+        # Legacy keys kept for reference compatibility (helicopter.py:29-32).
+        "render.modes": ["human", "rgb_array"],
+        "video.frames_per_second": FPS,
+        "render_fps": FPS,
+    }
+
+    default_max_time = 40.0
+    default_trim_cond = {
+        "yaw": 0.0, "yaw_rate": 0.0, "ned_vel": [0.0, 0.0, 0.0],
+        "gr_alt": 100.0, "xy": [0.0, 0.0], "psi_mr": 0.0, "psi_tr": 0.0,
+    }
+
+    _task_cls = Task
+
+    def __init__(self, heli_name: str = "aw109", render_mode: Optional[str] = None):
+        EzPickle.__init__(self, heli_name=heli_name, render_mode=render_mode)
+        self.heli_name = heli_name
+        self.render_mode = render_mode
+        self._core = HeliEnv.build(heli_name, task=self._task_cls())
+
+        self.observation_space = spaces.Box(-np.inf, np.inf, shape=(OBS_DIM,),
+                                            dtype=np.float32)
+        self.action_space = spaces.Box(-1.0, +1.0, (ACT_DIM,), dtype=np.float32)
+
+        self.set_max_time()
+        self.set_target()
+        self.set_trim_cond()
+        self.set_reward_weights()
+        n = self._core.normalizers
+        self.normalizers = {"t": n.t, "x": n.x, "v": n.v, "a": n.a}
+
+        self._step_jit = jax.jit(lambda es, a: self._core.step(es, a))
+        self._state = None
+        self._trim_cache = {}
+        self._renderer = None
+        self._np_seed = 0
+
+    # ------------------------------------------------------------------ API
+    def set_max_time(self, max_time: Optional[float] = None):
+        """Episode duration and derived success/task windows (helicopter.py:89-92)."""
+        self.max_time = self.default_max_time if max_time is None else max_time
+        self.success_duration = self.max_time / 4.0
+        self.task_duration = self.max_time / 4.0
+        self._core = self._core.replace(max_time=self.max_time)
+        self._step_jit = jax.jit(lambda es, a: self._core.step(es, a))
+
+    def set_target(self, target: Optional[dict] = None):
+        task = self._core.task
+        if target:
+            task = task.with_target(**{self._target_field(k): v for k, v in target.items()})
+        self.task_target = task.target_dict()
+        self._core = self._core.replace(task=task)
+        self._step_jit = jax.jit(lambda es, a: self._core.step(es, a))
+
+    @staticmethod
+    def _target_field(key: str) -> str:
+        return key
+
+    def get_target(self):
+        return copy.deepcopy(self.task_target)
+
+    def set_trim_cond(self, trim_cond: Optional[dict] = None):
+        self.trim_cond = copy.deepcopy(self.default_trim_cond)
+        self.trim_cond.update(trim_cond or {})
+
+    def get_trim_cond(self):
+        return copy.deepcopy(self.trim_cond)
+
+    def set_reward_weights(self, base_reward_weight=None, terminal_reward_weight=None):
+        """Stored for API parity; the reference defines these weights but its
+        task rewards never consume them (helicopter.py:108-111)."""
+        zero = np.zeros((OBS_DIM, OBS_DIM))
+        self.base_reward_weight = zero if base_reward_weight is None else base_reward_weight
+        self.terminal_reward_weight = zero if terminal_reward_weight is None else terminal_reward_weight
+
+    # ---------------------------------------------------------------- core
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        super().reset(seed=seed)
+        if seed is not None:
+            self._np_seed = seed
+        key = jax.random.PRNGKey(self._np_seed)
+        self._np_seed += 1
+        if options and "trim_cond" in options:
+            self.set_trim_cond(options["trim_cond"])
+        cond_key = tuple(sorted((k, str(v)) for k, v in self.trim_cond.items()))
+        if cond_key not in self._trim_cache:
+            self._trim_cache[cond_key] = self._core.trim_result(self.trim_cond)
+        es, obs = self._core.reset_from_trim(self._trim_cache[cond_key], key)
+        self._state = es
+        return np.asarray(obs), self._get_info_host(es)
+
+    def step(self, actions):
+        actions = jnp.asarray(actions, dtype=jnp.float32)
+        self._state, out = self._step_jit(self._state, actions)
+        info = {"failed": bool(out.failed), "successed": bool(out.successed),
+                "time_up": bool(out.time_up)}
+        return (np.asarray(out.obs), float(out.reward), bool(out.done),
+                bool(out.truncated), info)
+
+    def _get_info_host(self, es):
+        return {"failed": False, "successed": False, "time_up": False}
+
+    @property
+    def time_counter(self) -> float:
+        return float(self._state.steps) * DT if self._state is not None else 0.0
+
+    @property
+    def successed_time(self) -> float:
+        return float(self._state.successed_steps) * DT if self._state is not None else 0.0
+
+    # -------------------------------------------------------------- render
+    def render(self):
+        from ..render import get_renderer   # lazy: never in the step path
+        if self._renderer is None:
+            self._renderer = get_renderer(self._core)
+        return self._renderer.render(self._state, mode=self.render_mode or "rgb_array")
+
+    def close(self):
+        if self._renderer is not None:
+            self._renderer.close()
+            self._renderer = None
+
+
+class HeliHover(Heli):
+    """Hover task (helicopter_with_tasks.py:5-52)."""
+    _task_cls = HoverTask
+
+
+class HeliForwardFlight(Heli):
+    """Forward-flight task (helicopter_with_tasks.py:54-115)."""
+    _task_cls = ForwardFlightTask
+
+
+class HeliObliqueFlight(Heli):
+    """Oblique-flight task (README.md:54; completed here, see tasks.py)."""
+    _task_cls = ObliqueFlightTask
