@@ -169,7 +169,13 @@ class HeliEnv:
         """Pure env transition (single env; vmap for batches)."""
         key, eta_key = jax.random.split(es.key)
         eta = jax.random.normal(eta_key, (3,), dtype=jnp.float32) * (1.0 / self.dt) ** 0.5
+        return self.step_with_eta(es.replace(key=key), action, eta)
 
+    def step_with_eta(self, es: EnvState, action, eta) -> Tuple[EnvState, StepOutput]:
+        """Env transition with the Dryden white noise injected explicitly —
+        the seam that lets golden tests replay the reference's recorded noise
+        (SURVEY.md §5 RNG). `eta` must already be scaled by 1/sqrt(dt)."""
+        key = es.key
         wind_action = jnp.concatenate([es.obs[4:7], es.obs[16:17]], axis=-1)
         wind_new, wind_ned = self.wind_step(es.wind, wind_action, eta)
         heli_new, dots, obs = self.heli_step(es.heli, action, wind_ned)
