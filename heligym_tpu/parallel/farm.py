@@ -1,0 +1,94 @@
+"""Sharded env farm: thousands of lockstep envs partitioned over a device mesh.
+
+The reference runs exactly one env per process (SURVEY.md §2.4); the farm is
+its to-be-created scale-out: a VectorHeliEnv whose EnvState lives sharded over
+the `env` mesh axis. Stepping is elementwise over envs, so the jitted step
+partitions with zero communication; reductions (metrics, learner losses) ride
+ICI via `psum` inside `shard_map` or jit-inserted collectives.
+
+Determinism guarantee: per-env keys are folded from the *global* env index at
+reset, so trajectories are invariant to device count and sharding layout
+(tested on a CPU-simulated 8-device mesh, SURVEY.md §4 item 6).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..envs.env import EnvState, HeliEnv, StepOutput
+from ..envs.vector import VectorHeliEnv, auto_reset
+from .mesh import ENV_AXIS, env_sharding, make_env_mesh, shard_env_state
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvFarm:
+    """A VectorHeliEnv sharded over a mesh's env axis."""
+    venv: VectorHeliEnv
+    mesh: Mesh
+
+    @classmethod
+    def build(cls, env: HeliEnv, num_envs: int, mesh: Optional[Mesh] = None,
+              auto_reset: bool = True) -> "EnvFarm":
+        mesh = mesh or make_env_mesh()
+        n_dev = mesh.devices.size
+        if num_envs % n_dev != 0:
+            raise ValueError(f"num_envs={num_envs} not divisible by {n_dev} devices")
+        return cls(venv=VectorHeliEnv(env, num_envs, auto_reset), mesh=mesh)
+
+    @property
+    def num_envs(self) -> int:
+        return self.venv.num_envs
+
+    def reset(self, key, trim_cond: Optional[dict] = None) -> Tuple[EnvState, jnp.ndarray]:
+        es, obs = self.venv.reset(key, trim_cond)
+        es = shard_env_state(es, self.mesh)
+        return es, obs
+
+    def step_fn(self):
+        """Jitted sharded step: state in/out sharded over the env axis."""
+        sh = env_sharding(self.mesh)
+        venv = self.venv
+
+        def _step(es, actions):
+            new_es, out = jax.vmap(venv.env.step)(es, actions)
+            if venv.auto_reset:
+                new_es, out = auto_reset(new_es, out)
+            return new_es, out
+
+        return jax.jit(_step, in_shardings=(sh, sh), out_shardings=(sh, sh),
+                       donate_argnums=(0,))
+
+    def rollout_fn(self, policy: Callable, steps: int):
+        """Jitted sharded rollout: lax.scan over time, envs sharded.
+
+        policy(params, obs) -> actions. Returns f(es, policy_params) ->
+        (final_es, StepOutput stacked over `steps`)."""
+        sh = env_sharding(self.mesh)
+        venv = self.venv
+
+        def _rollout(es, policy_params):
+            def scan_step(es, _):
+                actions = policy(policy_params, es.obs)
+                es, out = jax.vmap(venv.env.step)(es, actions)
+                if venv.auto_reset:
+                    es, out = auto_reset(es, out)
+                return es, out
+            return jax.lax.scan(scan_step, es, None, length=steps)
+
+        return jax.jit(_rollout, in_shardings=(sh, None), donate_argnums=(0,))
+
+
+def farm_metrics(out: StepOutput) -> dict:
+    """Cross-env aggregate metrics; under a sharded jit these reductions
+    become ICI collectives automatically."""
+    return {
+        "reward_mean": jnp.mean(out.reward),
+        "reward_min": jnp.min(out.reward),
+        "done_frac": jnp.mean(out.done.astype(jnp.float32)),
+        "truncated_frac": jnp.mean(out.truncated.astype(jnp.float32)),
+        "failed_frac": jnp.mean(out.failed.astype(jnp.float32)),
+    }

@@ -1,0 +1,64 @@
+"""Distributed-layer tests on a CPU-simulated 8-device mesh
+(SURVEY.md §4 item 6): sharded farm correctness and layout invariance."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heligym_tpu.envs import VectorHeliEnv
+from heligym_tpu.parallel import EnvFarm, farm_metrics, make_env_mesh
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 simulated devices (conftest sets XLA_FLAGS)")
+    return devs
+
+
+def test_mesh_construction(devices):
+    mesh = make_env_mesh(devices)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("env",)
+
+
+def test_farm_step_and_layout_invariance(hover_env, hover_trim, devices):
+    """Per-env trajectories must not depend on how many devices the batch is
+    sharded over (global-index key folding)."""
+    num_envs = 16
+    key = jax.random.PRNGKey(9)
+    results = {}
+    for ndev in (1, 8):
+        mesh = make_env_mesh(devices[:ndev])
+        farm = EnvFarm.build(hover_env, num_envs, mesh=mesh)
+        venv = farm.venv
+        es, _ = venv.reset_from_trim(hover_trim, key)
+        from heligym_tpu.parallel import shard_env_state
+        es = shard_env_state(es, mesh)
+        step = farm.step_fn()
+        acts = jnp.tile(jnp.asarray(hover_trim.action), (num_envs, 1))
+        for _ in range(20):
+            es, out = step(es, acts)
+        results[ndev] = np.asarray(out.obs)
+    np.testing.assert_array_equal(results[1], results[8])
+
+
+def test_farm_rollout_and_metrics(hover_env, hover_trim, devices):
+    mesh = make_env_mesh(devices)
+    farm = EnvFarm.build(hover_env, 32, mesh=mesh)
+    es, _ = farm.venv.reset_from_trim(hover_trim, jax.random.PRNGKey(2))
+    from heligym_tpu.parallel import shard_env_state
+    es = shard_env_state(es, mesh)
+    policy = lambda p, obs: jnp.tile(jnp.asarray(hover_trim.action), (obs.shape[0], 1))
+    roll = farm.rollout_fn(policy, steps=10)
+    final, outs = roll(es, None)
+    assert outs.obs.shape == (10, 32, 17)
+    m = jax.jit(farm_metrics)(jax.tree_util.tree_map(lambda x: x[-1], outs))
+    assert np.isfinite(float(m["reward_mean"]))
+
+
+def test_farm_divisibility_check(hover_env, devices):
+    mesh = make_env_mesh(devices)
+    with pytest.raises(ValueError):
+        EnvFarm.build(hover_env, 12, mesh=mesh)
