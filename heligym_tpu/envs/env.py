@@ -221,17 +221,25 @@ class HeliEnv:
         Like the very first reference reset, the trim was computed under the
         mean wind; Dryden filter states start at zero."""
         # Trim solves on the host CPU; move the result to the default backend
-        # so subsequent jitted steps compile for the accelerator.
+        # so subsequent jitted steps compile for the accelerator. Assembly is
+        # jitted: per-op eager dispatch is prohibitively slow on tunneled TPUs.
         tr = jax.device_put(tr, jax.devices()[0])
-        snap = ResetSnapshot(heli=tr.state, wind=WindState.zeros(), dots=tr.dots,
-                             obs=tr.obs, wind_ned=dryden.mean_wind(self.wind_params))
-        es = EnvState(heli=tr.state, wind=snap.wind, dots=tr.dots,
-                      obs=tr.obs, wind_ned=snap.wind_ned,
-                      steps=jnp.zeros((), jnp.int32),
-                      successed_steps=jnp.zeros((), jnp.int32), key=key,
-                      init=snap)
+        es = _assemble_env_state(tr.state, tr.dots, tr.obs,
+                                 dryden.mean_wind(self.wind_params), key)
         return es, tr.obs
 
     def reset(self, key, trim_cond: Optional[dict] = None) -> Tuple[EnvState, jnp.ndarray]:
         """Host-side trim solve + state assembly."""
         return self.reset_from_trim(self.trim_result(trim_cond), key)
+
+
+@jax.jit
+def _assemble_env_state(trim_state: HeliState, trim_dots: HeliState,
+                        trim_obs, wind_mean, key) -> EnvState:
+    snap = ResetSnapshot(heli=trim_state, wind=WindState.zeros(),
+                         dots=trim_dots, obs=trim_obs, wind_ned=wind_mean)
+    return EnvState(heli=trim_state, wind=snap.wind, dots=trim_dots,
+                    obs=trim_obs, wind_ned=wind_mean,
+                    steps=jnp.zeros((), jnp.int32),
+                    successed_steps=jnp.zeros((), jnp.int32), key=key,
+                    init=snap)

@@ -25,6 +25,16 @@ def broadcast_state(es: EnvState, n: int) -> EnvState:
         lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), es)
 
 
+@functools.partial(jax.jit, static_argnums=2)
+def _broadcast_and_fold(es_single: EnvState, key, n: int) -> EnvState:
+    """Jitted reset assembly: broadcast the trim state and fold per-env keys
+    by global env index (one compiled program instead of dozens of eager ops —
+    eager dispatch is ~0.4 s/op on tunneled TPU backends)."""
+    es = broadcast_state(es_single, n)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    return es.replace(key=keys)
+
+
 def auto_reset(new_es: EnvState, out: StepOutput) -> Tuple[EnvState, StepOutput]:
     """Where an episode ended, replace the sim state with its ResetSnapshot
     (gymnasium autoreset convention: the returned obs is the fresh episode's
@@ -65,10 +75,7 @@ class VectorHeliEnv:
 
     def reset_from_trim(self, tr: TrimResult, key) -> Tuple[EnvState, jnp.ndarray]:
         es_single, obs = self.env.reset_from_trim(tr, key)
-        es = broadcast_state(es_single, self.num_envs)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(self.num_envs))
-        es = es.replace(key=keys)
+        es = _broadcast_and_fold(es_single, key, self.num_envs)
         return es, es.obs
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -1,0 +1,239 @@
+"""PPO on sharded rollouts: the learner hookup (BASELINE.json config #5).
+
+Everything — rollout collection (lax.scan over the vmapped env step), GAE,
+minibatched clipped-surrogate updates — is ONE jitted train step. Envs are
+sharded over the mesh's `env` axis, network parameters are replicated; XLA
+inserts the gradient all-reduce over ICI automatically from the shardings
+(the TPU-native answer to the reference's absent NCCL/MPI layer,
+SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..envs.env import EnvState, HeliEnv
+from ..envs.vector import VectorHeliEnv, auto_reset
+from ..parallel.mesh import env_sharding, make_env_mesh, replicated_sharding
+from .networks import ActorCritic, gaussian_entropy, gaussian_log_prob, obs_scales
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 1024
+    rollout_steps: int = 64
+    minibatches: int = 8
+    epochs: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    lr: float = 3e-4
+    vf_coef: float = 0.5
+    ent_coef: float = 1e-3
+    max_grad_norm: float = 0.5
+    hidden: Tuple[int, ...] = (256, 256)
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    env_state: EnvState
+    key: jax.Array
+    update_count: jnp.ndarray
+
+
+@struct.dataclass
+class Transition:
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+class PPOLearner:
+    """Builds the jitted sharded train step for a HeliEnv."""
+
+    def __init__(self, env: HeliEnv, config: PPOConfig = PPOConfig(),
+                 mesh: Optional[Mesh] = None):
+        self.env = env
+        self.config = config
+        self.mesh = mesh or make_env_mesh()
+        self.venv = VectorHeliEnv(env, config.num_envs, auto_reset=True)
+        self.network = ActorCritic(action_dim=4, hidden=config.hidden)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr))
+        self._scales = jnp.asarray(obs_scales(env.params))
+        self._train_step = None
+
+    # ------------------------------------------------------------- setup
+    def init(self, key, trim_cond: Optional[dict] = None) -> TrainState:
+        k_net, k_env, k_run = jax.random.split(key, 3)
+        es, obs = self.venv.reset(k_run, trim_cond)
+        params = self.network.init(k_net, self._norm(obs[:1]))
+        opt_state = self.tx.init(params)
+        sh_env = env_sharding(self.mesh)
+        rep = replicated_sharding(self.mesh)
+        ts = TrainState(params=jax.device_put(params, rep),
+                        opt_state=jax.device_put(opt_state, rep),
+                        env_state=jax.device_put(es, sh_env),
+                        key=jax.device_put(k_env, rep),
+                        update_count=jnp.zeros((), jnp.int32))
+        return ts
+
+    def _norm(self, obs):
+        return obs / self._scales
+
+    def policy(self, params, obs, key=None):
+        """Stochastic policy head; deterministic (mean) when key is None."""
+        mean, log_std, _ = self.network.apply(params, self._norm(obs))
+        if key is None:
+            return jnp.clip(mean, -1.0, 1.0)
+        noise = jax.random.normal(key, mean.shape)
+        return jnp.clip(mean + jnp.exp(log_std) * noise, -1.0, 1.0)
+
+    # ------------------------------------------------------------ rollout
+    def _collect(self, params, es: EnvState, key):
+        def scan_step(carry, _):
+            es, key = carry
+            key, k_act = jax.random.split(key)
+            mean, log_std, value = self.network.apply(params, self._norm(es.obs))
+            noise = jax.random.normal(k_act, mean.shape)
+            action = mean + jnp.exp(log_std) * noise
+            log_prob = gaussian_log_prob(mean, log_std, action)
+            clipped = jnp.clip(action, -1.0, 1.0)
+            new_es, out = jax.vmap(self.env.step)(es, clipped)
+            new_es, out = auto_reset(new_es, out)
+            tr = Transition(obs=es.obs, action=action, log_prob=log_prob,
+                            value=value, reward=out.reward,
+                            done=(out.done | out.truncated))
+            return (new_es, key), tr
+
+        (es, key), traj = jax.lax.scan(
+            scan_step, (es, key), None, length=self.config.rollout_steps)
+        _, _, last_value = self.network.apply(params, self._norm(es.obs))
+        return es, key, traj, last_value
+
+    def _gae(self, traj: Transition, last_value):
+        cfg = self.config
+
+        def scan_back(carry, tr):
+            gae, next_value = carry
+            not_done = 1.0 - tr.done.astype(jnp.float32)
+            delta = tr.reward + cfg.gamma * next_value * not_done - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
+            return (gae, tr.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            scan_back, (jnp.zeros_like(last_value), last_value), traj,
+            reverse=True)
+        returns = advantages + traj.value
+        return advantages, returns
+
+    # ------------------------------------------------------------- update
+    def _loss(self, params, batch, advantages, returns):
+        cfg = self.config
+        mean, log_std, value = self.network.apply(params, self._norm(batch.obs))
+        log_prob = gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_clipped = batch.value + jnp.clip(value - batch.value,
+                                           -cfg.clip_eps, cfg.clip_eps)
+        v_loss = 0.5 * jnp.maximum((value - returns) ** 2,
+                                   (v_clipped - returns) ** 2).mean()
+        ent = gaussian_entropy(log_std).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
+                       "approx_kl": ((ratio - 1.0) - jnp.log(ratio)).mean()}
+
+    def _update_epoch(self, carry, _):
+        params, opt_state, key, flat, advantages, returns = carry
+        cfg = self.config
+        n = advantages.shape[0]
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n)
+        mb = n // cfg.minibatches
+
+        def mb_step(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+            batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, batch, advantages[idx], returns[idx])
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), {"loss": loss, **aux}
+
+        (params, opt_state), metrics = jax.lax.scan(
+            mb_step, (params, opt_state), jnp.arange(cfg.minibatches))
+        return (params, opt_state, key, flat, advantages, returns), metrics
+
+    # -------------------------------------------------------- train step
+    def train_step_fn(self):
+        """One jitted PPO iteration: rollout + GAE + epochs of minibatches."""
+        if self._train_step is not None:
+            return self._train_step
+        cfg = self.config
+        sh_env = env_sharding(self.mesh)
+        rep = replicated_sharding(self.mesh)
+
+        def _step(ts: TrainState):
+            key, k_roll, k_upd = jax.random.split(ts.key, 3)
+            es, _, traj, last_value = self._collect(ts.params, ts.env_state, k_roll)
+            advantages, returns = self._gae(traj, last_value)
+            # (T, B, ...) -> (T*B, ...)
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+            adv_f = advantages.reshape(-1)
+            ret_f = returns.reshape(-1)
+            carry = (ts.params, ts.opt_state, k_upd, flat, adv_f, ret_f)
+            carry, metrics = jax.lax.scan(self._update_epoch, carry, None,
+                                          length=cfg.epochs)
+            params, opt_state = carry[0], carry[1]
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+            metrics["reward_mean"] = traj.reward.mean()
+            metrics["done_frac"] = traj.done.mean()
+            new_ts = TrainState(params=params, opt_state=opt_state,
+                                env_state=es, key=key,
+                                update_count=ts.update_count + 1)
+            return new_ts, metrics
+
+        state_shardings = TrainState(
+            params=rep, opt_state=rep, env_state=sh_env, key=rep,
+            update_count=rep)
+        self._train_step = jax.jit(
+            _step,
+            in_shardings=(state_shardings,),
+            out_shardings=(state_shardings, rep),
+            donate_argnums=(0,))
+        return self._train_step
+
+    # ----------------------------------------------------------- training
+    def train(self, key, num_updates: int, log_every: int = 10,
+              trim_cond: Optional[dict] = None):
+        ts = self.init(key, trim_cond)
+        step = self.train_step_fn()
+        history = []
+        for i in range(num_updates):
+            ts, metrics = step(ts)
+            if (i + 1) % log_every == 0 or i == num_updates - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["update"] = i + 1
+                history.append(m)
+                print(f"update {i+1}: reward={m['reward_mean']:.4f} "
+                      f"loss={m['loss']:.4f} kl={m['approx_kl']:.4f}")
+        return ts, history
