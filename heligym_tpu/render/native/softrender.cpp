@@ -1,0 +1,407 @@
+#include "softrender.h"
+
+#include <algorithm>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+
+#include "font5x7.h"
+
+namespace sr {
+
+// ----------------------------------------------------------------- Window
+Window::Window(int w, int h, const char* title_)
+    : width(w), height(h), title(title_ ? title_ : "") {
+  framebuffer.assign(static_cast<size_t>(w) * h * 3, 0);
+  zbuffer.assign(static_cast<size_t>(w) * h, 1e30f);
+  camera = new Camera();
+  last_frame = std::chrono::steady_clock::now();
+}
+
+Window::~Window() { delete camera; }
+
+void Window::clear() {
+  // vertical sky gradient toward the fog color at the horizon
+  for (int y = 0; y < height; ++y) {
+    float t = static_cast<float>(y) / height;
+    uint8_t r = static_cast<uint8_t>(255 * (0.35f + (fog_color.x - 0.35f) * t));
+    uint8_t g = static_cast<uint8_t>(255 * (0.55f + (fog_color.y - 0.55f) * t));
+    uint8_t b = static_cast<uint8_t>(255 * (0.85f + (fog_color.z - 0.85f) * t));
+    uint8_t* row = &framebuffer[static_cast<size_t>(y) * width * 3];
+    for (int x = 0; x < width; ++x) {
+      row[3 * x] = r; row[3 * x + 1] = g; row[3 * x + 2] = b;
+    }
+  }
+  std::fill(zbuffer.begin(), zbuffer.end(), 1e30f);
+}
+
+static Mat4 rotor_matrix(const Vec3& angles, const Vec3& hub) {
+  // Mirrors the reference vertex-shader rotor transform
+  // (aw109_vertex.vs:51-72): Rx(phi) * Ry(theta) * Rz(psi) about the hub.
+  Mat4 m = Mat4::identity();
+  m = translate(m, hub);
+  m = rotate(m, angles.x, {1, 0, 0});
+  m = rotate(m, angles.y, {0, 1, 0});
+  m = rotate(m, angles.z, {0, 0, 1});
+  m = translate(m, hub * -1.0f);
+  return m;
+}
+
+void Window::draw_model(Model* mdl) {
+  Mat4 proj = perspective(camera->fov_deg * 3.14159265f / 180.0f,
+                          static_cast<float>(width) / height, 0.5f, 30000.0f);
+  Mat4 view = camera->view();
+  Mat4 mr_m = rotor_matrix(mdl->mainrotor, mdl->mr_hub);
+  Mat4 tr_m = rotor_matrix(mdl->tailrotor, mdl->tr_hub);
+
+  for (const Mesh& mesh : mdl->meshes) {
+    Mat4 base_mv = mdl->model;
+    Mat3 nmat = normal_matrix(base_mv);
+    Mat4 mvp = proj * view * base_mv;
+    bool has_groups = !mesh.groups.empty();
+
+    for (size_t i = 0; i + 2 < mesh.indices.size(); i += 3) {
+      Vec4 clip[3];
+      Vec3 world_n[3], world_p[3];
+      bool reject = false;
+      for (int k = 0; k < 3; ++k) {
+        uint32_t idx = mesh.indices[i + k];
+        Vec3 p = mesh.positions[idx];
+        Vec3 n = idx < mesh.normals.size() ? mesh.normals[idx] : Vec3{0, 1, 0};
+        if (has_groups && mesh.groups[idx] != GROUP_BODY) {
+          const Mat4& rm = mesh.groups[idx] == GROUP_MAINROTOR ? mr_m : tr_m;
+          Vec4 pr = rm * Vec4(p, 1.0f);
+          p = {pr.x, pr.y, pr.z};
+          Vec4 nr = rm * Vec4(n, 0.0f);
+          n = {nr.x, nr.y, nr.z};
+        }
+        Vec4 wp4 = base_mv * Vec4(p, 1.0f);
+        world_p[k] = {wp4.x, wp4.y, wp4.z};
+        world_n[k] = normalize(mul3(nmat, n));
+        clip[k] = mvp * Vec4(p, 1.0f);
+        if (clip[k].w < 0.5f) reject = true;   // near-plane reject
+      }
+      if (reject) continue;
+      draw_triangle(clip, world_n, world_p, mesh.color, mesh.shaded);
+    }
+  }
+  // reference semantics: transforms & rotor angles reset after draw
+  // (model.cpp:56-61)
+  mdl->model = mdl->base;
+  mdl->mainrotor = {0, 0, 0};
+  mdl->tailrotor = {0, 0, 0};
+}
+
+void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
+                           const Vec3& color, bool shaded) {
+  // NDC -> screen
+  float sx[3], sy[3], sz[3];
+  for (int k = 0; k < 3; ++k) {
+    float inv_w = 1.0f / clip[k].w;
+    sx[k] = (clip[k].x * inv_w * 0.5f + 0.5f) * width;
+    sy[k] = (1.0f - (clip[k].y * inv_w * 0.5f + 0.5f)) * height;
+    sz[k] = clip[k].z * inv_w;
+  }
+  int minx = std::max(0, static_cast<int>(std::floor(std::min({sx[0], sx[1], sx[2]}))));
+  int maxx = std::min(width - 1, static_cast<int>(std::ceil(std::max({sx[0], sx[1], sx[2]}))));
+  int miny = std::max(0, static_cast<int>(std::floor(std::min({sy[0], sy[1], sy[2]}))));
+  int maxy = std::min(height - 1, static_cast<int>(std::ceil(std::max({sy[0], sy[1], sy[2]}))));
+  if (minx > maxx || miny > maxy) return;
+
+  float d = (sy[1] - sy[2]) * (sx[0] - sx[2]) + (sx[2] - sx[1]) * (sy[0] - sy[2]);
+  if (std::fabs(d) < 1e-9f) return;
+  float inv_d = 1.0f / d;
+
+  Vec3 cam = camera->position;
+  Vec3 ldir = normalize(light_dir * -1.0f);
+
+  for (int y = miny; y <= maxy; ++y) {
+    for (int x = minx; x <= maxx; ++x) {
+      float px = x + 0.5f, py = y + 0.5f;
+      float w0 = ((sy[1] - sy[2]) * (px - sx[2]) + (sx[2] - sx[1]) * (py - sy[2])) * inv_d;
+      float w1 = ((sy[2] - sy[0]) * (px - sx[2]) + (sx[0] - sx[2]) * (py - sy[2])) * inv_d;
+      float w2 = 1.0f - w0 - w1;
+      if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+      float z = w0 * sz[0] + w1 * sz[1] + w2 * sz[2];
+      size_t zi = static_cast<size_t>(y) * width + x;
+      if (z >= zbuffer[zi]) continue;
+      zbuffer[zi] = z;
+
+      Vec3 out;
+      if (shaded) {
+        Vec3 n = normalize(wn[0] * w0 + wn[1] * w1 + wn[2] * w2);
+        float diff = std::max(0.0f, dot(n, ldir));
+        float lit = ambient + (1.0f - ambient) * diff;
+        out = {color.x * light_color.x * lit,
+               color.y * light_color.y * lit,
+               color.z * light_color.z * lit};
+        // exponential fog on view distance (terrain_frag.fs:38-62)
+        Vec3 p = wp[0] * w0 + wp[1] * w1 + wp[2] * w2;
+        float dist = length(p - cam);
+        float f = std::exp(-dist * fog_density);
+        out = fog_color * (1.0f - f) + out * f;
+      } else {
+        out = color;
+      }
+      uint8_t* px8 = &framebuffer[zi * 3];
+      px8[0] = static_cast<uint8_t>(std::min(1.0f, out.x) * 255);
+      px8[1] = static_cast<uint8_t>(std::min(1.0f, out.y) * 255);
+      px8[2] = static_cast<uint8_t>(std::min(1.0f, out.z) * 255);
+    }
+  }
+}
+
+void Window::draw_text(int x0, int y0, const std::string& s,
+                       uint8_t r, uint8_t g, uint8_t b) {
+  int x = x0;
+  for (char c : s) {
+    const uint8_t* cols = glyph_for(c);
+    if (cols) {
+      for (int cx = 0; cx < 5; ++cx) {
+        for (int cy = 0; cy < 7; ++cy) {
+          if (cols[cx] & (1 << cy)) {
+            int px = x + cx, py = y0 + cy;
+            if (px >= 0 && px < width && py >= 0 && py < height) {
+              uint8_t* p = &framebuffer[(static_cast<size_t>(py) * width + px) * 3];
+              p[0] = r; p[1] = g; p[2] = b;
+            }
+          }
+        }
+      }
+    }
+    x += 6;
+  }
+}
+
+int Window::create_guiText(const char* title_, float x, float y) {
+  GuiTextSection s;
+  s.title = title_ ? title_ : "";
+  s.pos_x = x;
+  s.pos_y = y;
+  gui_sections.push_back(std::move(s));
+  return static_cast<int>(gui_sections.size()) - 1;
+}
+
+void Window::render() {
+  clear();
+  for (Model* m : permanent) draw_model(m);
+  for (Model* m : instantaneous) draw_model(m);
+  instantaneous.clear();
+
+  // HUD text overlay (equivalent of the reference's ImGui sections,
+  // gWindow.cpp:339-368)
+  for (const auto& sec : gui_sections) {
+    int x = static_cast<int>(sec.pos_x), y = static_cast<int>(sec.pos_y);
+    draw_text(x, y, sec.title, 255, 255, 255);
+    y += 10;
+    char buf[128];
+    for (const auto& item : sec.items) {
+      std::snprintf(buf, sizeof(buf), item.fmt.c_str(), item.value);
+      draw_text(x, y, buf, 230, 230, 230);
+      y += 9;
+    }
+  }
+
+  // FPS accounting (gWindow.cpp:161-181); headless, so no sleep throttle.
+  auto now = std::chrono::steady_clock::now();
+  float dt = std::chrono::duration<float>(now - last_frame).count();
+  last_frame = now;
+  if (dt > 0) FPS = 0.9f * FPS + 0.1f * (1.0f / dt);
+  frame_count++;
+}
+
+// ------------------------------------------------------------ OBJ loader
+Model* load_obj(const std::string& path) {
+  std::ifstream in(path);
+  if (!in.is_open()) return nullptr;
+  auto* mdl = new Model();
+  Mesh mesh;
+  std::vector<Vec3> vs, vns;
+  uint8_t current_group = GROUP_BODY;
+  std::string line;
+  // maps (pos_idx, norm_idx) -> final vertex index, flattened per group
+  auto emit_vertex = [&](int vi, int ni) -> uint32_t {
+    Vec3 p = (vi >= 1 && vi <= static_cast<int>(vs.size())) ? vs[vi - 1] : Vec3{};
+    Vec3 n = (ni >= 1 && ni <= static_cast<int>(vns.size())) ? vns[ni - 1] : Vec3{0, 1, 0};
+    mesh.positions.push_back(p);
+    mesh.normals.push_back(n);
+    mesh.groups.push_back(current_group);
+    return static_cast<uint32_t>(mesh.positions.size() - 1);
+  };
+  while (std::getline(in, line)) {
+    std::istringstream ss(line);
+    std::string tag;
+    ss >> tag;
+    if (tag == "v") {
+      Vec3 p; ss >> p.x >> p.y >> p.z; vs.push_back(p);
+    } else if (tag == "vn") {
+      Vec3 n; ss >> n.x >> n.y >> n.z; vns.push_back(n);
+    } else if (tag == "o" || tag == "g") {
+      std::string name; ss >> name;
+      std::transform(name.begin(), name.end(), name.begin(), ::tolower);
+      if (name.find("mainrotor") != std::string::npos) current_group = GROUP_MAINROTOR;
+      else if (name.find("tailrotor") != std::string::npos) current_group = GROUP_TAILROTOR;
+      else current_group = GROUP_BODY;
+    } else if (tag == "f") {
+      std::vector<uint32_t> face;
+      std::string vert;
+      while (ss >> vert) {
+        int vi = 0, ti = 0, ni = 0;
+        if (std::sscanf(vert.c_str(), "%d/%d/%d", &vi, &ti, &ni) == 3 ||
+            std::sscanf(vert.c_str(), "%d//%d", &vi, &ni) == 2 ||
+            std::sscanf(vert.c_str(), "%d/%d", &vi, &ti) >= 1) {
+          face.push_back(emit_vertex(vi, ni));
+        }
+      }
+      for (size_t k = 2; k < face.size(); ++k) {
+        mesh.indices.push_back(face[0]);
+        mesh.indices.push_back(face[k - 1]);
+        mesh.indices.push_back(face[k]);
+      }
+    }
+  }
+  // flat normals where missing
+  if (vns.empty()) {
+    for (size_t i = 0; i + 2 < mesh.indices.size(); i += 3) {
+      Vec3 a = mesh.positions[mesh.indices[i]];
+      Vec3 b = mesh.positions[mesh.indices[i + 1]];
+      Vec3 c = mesh.positions[mesh.indices[i + 2]];
+      Vec3 n = normalize(cross(b - a, c - a));
+      for (int k = 0; k < 3; ++k) mesh.normals[mesh.indices[i + k]] = n;
+    }
+  }
+  mesh.color = {0.75f, 0.1f, 0.1f};
+  mdl->meshes.push_back(std::move(mesh));
+  return mdl;
+}
+
+// --------------------------------------------------- procedural factories
+static void add_box(Mesh& m, Vec3 c, Vec3 half, uint8_t group) {
+  static const int F[6][4] = {{0, 1, 2, 3}, {5, 4, 7, 6}, {4, 0, 3, 7},
+                              {1, 5, 6, 2}, {4, 5, 1, 0}, {3, 2, 6, 7}};
+  static const Vec3 N[6] = {{0, 0, 1}, {0, 0, -1}, {-1, 0, 0},
+                            {1, 0, 0}, {0, -1, 0}, {0, 1, 0}};
+  Vec3 corners[8] = {
+      {c.x - half.x, c.y - half.y, c.z + half.z},
+      {c.x + half.x, c.y - half.y, c.z + half.z},
+      {c.x + half.x, c.y + half.y, c.z + half.z},
+      {c.x - half.x, c.y + half.y, c.z + half.z},
+      {c.x - half.x, c.y - half.y, c.z - half.z},
+      {c.x + half.x, c.y - half.y, c.z - half.z},
+      {c.x + half.x, c.y + half.y, c.z - half.z},
+      {c.x - half.x, c.y + half.y, c.z - half.z}};
+  for (int f = 0; f < 6; ++f) {
+    uint32_t base = static_cast<uint32_t>(m.positions.size());
+    for (int k = 0; k < 4; ++k) {
+      m.positions.push_back(corners[F[f][k]]);
+      m.normals.push_back(N[f]);
+      m.groups.push_back(group);
+    }
+    m.indices.insert(m.indices.end(), {base, base + 1, base + 2,
+                                       base, base + 2, base + 3});
+  }
+}
+
+static void add_blade_disc(Mesh& m, Vec3 hub, float radius, int nblades,
+                           float chord, uint8_t group, const Vec3& axis) {
+  // nblades thin quads spinning about `axis`
+  Vec3 ref = std::fabs(axis.y) < 0.9f ? Vec3{0, 1, 0} : Vec3{1, 0, 0};
+  Vec3 u = normalize(cross(axis, ref));
+  Vec3 v = normalize(cross(axis, u));
+  for (int b = 0; b < nblades; ++b) {
+    float a = 2.0f * 3.14159265f * b / nblades;
+    Vec3 dir = u * std::cos(a) + v * std::sin(a);
+    Vec3 side = normalize(cross(axis, dir)) * (chord * 0.5f);
+    uint32_t base = static_cast<uint32_t>(m.positions.size());
+    Vec3 tip = hub + dir * radius;
+    Vec3 root = hub + dir * (radius * 0.08f);
+    m.positions.insert(m.positions.end(),
+                       {root - side, root + side, tip + side, tip - side});
+    for (int k = 0; k < 4; ++k) {
+      m.normals.push_back(axis);
+      m.groups.push_back(group);
+    }
+    m.indices.insert(m.indices.end(), {base, base + 1, base + 2,
+                                       base, base + 2, base + 3});
+  }
+}
+
+Model* make_procedural_heli() {
+  // Simple aw109-proportioned helicopter in GL model space
+  // (x: forward/north, y: up, z: right/east), sized in meters.
+  auto* mdl = new Model();
+  Mesh body;
+  body.color = {0.72f, 0.10f, 0.10f};
+  add_box(body, {0.0f, 0.0f, 0.0f}, {2.2f, 0.9f, 0.75f}, GROUP_BODY);   // cabin
+  add_box(body, {-3.9f, 0.45f, 0.0f}, {2.2f, 0.25f, 0.15f}, GROUP_BODY); // tail boom
+  add_box(body, {-6.0f, 1.1f, 0.0f}, {0.25f, 0.7f, 0.08f}, GROUP_BODY);  // fin
+  add_box(body, {-5.6f, 0.7f, 0.0f}, {0.3f, 0.05f, 0.9f}, GROUP_BODY);   // h-stab
+  add_box(body, {0.0f, -1.05f, 0.9f}, {1.6f, 0.07f, 0.07f}, GROUP_BODY); // skid R
+  add_box(body, {0.0f, -1.05f, -0.9f}, {1.6f, 0.07f, 0.07f}, GROUP_BODY);// skid L
+  add_box(body, {0.0f, 1.05f, 0.0f}, {0.3f, 0.25f, 0.3f}, GROUP_BODY);   // mast
+  mdl->mr_hub = {0.0f, 1.35f, 0.0f};
+  mdl->tr_hub = {-6.1f, 0.9f, 0.12f};
+  Mesh rotor;
+  rotor.color = {0.15f, 0.15f, 0.17f};
+  add_blade_disc(rotor, mdl->mr_hub, 5.5f, 4, 0.34f, GROUP_MAINROTOR, {0, 1, 0});
+  add_blade_disc(rotor, mdl->tr_hub, 0.95f, 2, 0.2f, GROUP_TAILROTOR, {0, 0, 1});
+  mdl->meshes.push_back(std::move(body));
+  mdl->meshes.push_back(std::move(rotor));
+  return mdl;
+}
+
+Model* make_sky_dome() {
+  // The sky is painted by Window::clear(); this placeholder keeps API parity
+  // with the reference scene graph (helicopter.py:83-84).
+  return new Model();
+}
+
+Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
+                    float ew_size_m, float height_scale_m) {
+  auto* mdl = new Model();
+  Mesh mesh;
+  mesh.color = {0.42f, 0.47f, 0.33f};
+  // GL space: x = north, z = east, y = up. Row r is the east axis index and
+  // column c the north axis index, matching the physics hmap convention
+  // (terrain.py / helicopter_dynamics.py:167-195: hmap[y_ind, x_ind]).
+  float dx = ns_size_m / w;
+  float dz = ew_size_m / h;
+  mesh.positions.reserve(static_cast<size_t>(h) * w);
+  for (int r = 0; r < h; ++r) {
+    for (int c = 0; c < w; ++c) {
+      float north = (c - w / 2) * dx;
+      float east = (r - h / 2) * dz;
+      float up = hmap[static_cast<size_t>(r) * w + c] * height_scale_m;
+      mesh.positions.push_back({north, up, east});
+      mesh.normals.push_back({0, 1, 0});
+      mesh.groups.push_back(GROUP_BODY);
+    }
+  }
+  for (int r = 0; r + 1 < h; ++r) {
+    for (int c = 0; c + 1 < w; ++c) {
+      uint32_t i00 = r * w + c, i01 = r * w + c + 1;
+      uint32_t i10 = (r + 1) * w + c, i11 = (r + 1) * w + c + 1;
+      mesh.indices.insert(mesh.indices.end(), {i00, i10, i11, i00, i11, i01});
+    }
+  }
+  // smooth normals from central differences
+  for (int r = 0; r < h; ++r) {
+    for (int c = 0; c < w; ++c) {
+      int cm = std::max(c - 1, 0), cp = std::min(c + 1, w - 1);
+      int rm = std::max(r - 1, 0), rp = std::min(r + 1, h - 1);
+      float dydn = (hmap[static_cast<size_t>(r) * w + cp] -
+                    hmap[static_cast<size_t>(r) * w + cm]) * height_scale_m /
+                   ((cp - cm) * dx);
+      float dyde = (hmap[static_cast<size_t>(rp) * w + c] -
+                    hmap[static_cast<size_t>(rm) * w + c]) * height_scale_m /
+                   ((rp - rm) * dz);
+      mesh.normals[static_cast<size_t>(r) * w + c] =
+          normalize(Vec3{-dydn, 1.0f, -dyde});
+    }
+  }
+  mdl->meshes.push_back(std::move(mesh));
+  return mdl;
+}
+
+}  // namespace sr

@@ -1,0 +1,287 @@
+"""ctypes binding + OO facade for the native software renderer.
+
+Layer-compatible with the reference's renderer binding
+(/root/reference/heligym/envs/renderer/pyapi.py + api.py): the same entry-point
+names and the same NED -> graphics-frame conversions (api.py:68-119), with
+headless extensions (`get_frame`, terrain-from-heightmap) instead of a GLFW
+window, so `rgb_array` rendering works on display-less TPU hosts.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..utils.constants import FT2MTR
+
+_LIB_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "lib")
+_LIB_PATH = os.path.join(_LIB_DIR, "libheligym_tpu_render.so")
+_BUILD_SCRIPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "native", "build.sh")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["sh", _BUILD_SCRIPT], check=True,
+                           capture_output=True, timeout=300)
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    c = ctypes
+    lib.create_window.restype = c.c_void_p
+    lib.create_window.argtypes = [c.c_uint, c.c_uint, c.c_char_p]
+    lib.render.argtypes = [c.c_void_p]
+    lib.close.argtypes = [c.c_void_p]
+    lib.is_close.restype = c.c_bool
+    lib.is_close.argtypes = [c.c_void_p]
+    lib.destroy_window.argtypes = [c.c_void_p]
+    lib.create_model.restype = c.c_void_p
+    lib.create_model.argtypes = [c.c_char_p, c.c_char_p, c.c_char_p]
+    lib.create_terrain_model.restype = c.c_void_p
+    lib.create_terrain_model.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        c.c_int, c.c_int, c.c_float, c.c_float, c.c_float]
+    lib.create_procedural_model.restype = c.c_void_p
+    lib.create_procedural_model.argtypes = [c.c_char_p]
+    lib.destroy_model.argtypes = [c.c_void_p]
+    lib.add_permanent_to_window.argtypes = [c.c_void_p, c.c_void_p]
+    lib.add_instantaneous_to_window.argtypes = [c.c_void_p, c.c_void_p]
+    lib.translate_model.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.rotate_model.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float, c.c_float]
+    lib.scale_model.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.get_fps.restype = c.c_float
+    lib.get_fps.argtypes = [c.c_void_p]
+    lib.set_fps.argtypes = [c.c_void_p, c.c_float]
+    lib.get_camera.restype = c.c_void_p
+    lib.get_camera.argtypes = [c.c_void_p]
+    lib.set_camera_pos.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.get_camera_pos.restype = c.POINTER(c.c_float)
+    lib.get_camera_pos.argtypes = [c.c_void_p]
+    lib.set_camera_look_at.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.is_visible.restype = c.c_bool
+    lib.is_visible.argtypes = [c.c_void_p]
+    lib.hide_window.argtypes = [c.c_void_p]
+    lib.show_window.argtypes = [c.c_void_p]
+    lib.create_guiTextVector.restype = c.c_int
+    lib.create_guiTextVector.argtypes = [c.c_void_p, c.c_char_p, c.c_float,
+                                         c.c_float, c.c_float, c.c_float]
+    lib.add_guiText.argtypes = [c.c_void_p, c.c_int, c.c_int,
+                                c.POINTER(c.c_char_p),
+                                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.set_guiText.argtypes = [c.c_void_p, c.c_int,
+                                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.rotate_MR.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.rotate_TR.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.get_frame.argtypes = [c.c_void_p,
+                              np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+    lib.get_width.restype = c.c_int
+    lib.get_width.argtypes = [c.c_void_p]
+    lib.get_height.restype = c.c_int
+    lib.get_height.argtypes = [c.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class Renderer:
+    """OO facade over the C ABI with the reference's NED->GL conversions
+    (api.py:68-119): GL x = north, GL y = up (-down), GL z = east."""
+
+    def __init__(self, w: int = 800, h: int = 600, title: str = "heligym-tpu"):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native renderer library unavailable")
+        self.window = self._lib.create_window(w, h, title.encode())
+        self.width, self.height = w, h
+        self.camera = self._lib.get_camera(self.window)
+
+    # window ------------------------------------------------------------
+    def render(self):
+        self._lib.render(self.window)
+
+    def close(self):
+        self._lib.close(self.window)
+
+    def is_close(self) -> bool:
+        return self._lib.is_close(self.window)
+
+    def terminate(self):
+        if self.window:
+            self._lib.destroy_window(self.window)
+            self.window = None
+
+    def get_frame(self) -> np.ndarray:
+        out = np.empty((self.height, self.width, 3), np.uint8)
+        self._lib.get_frame(self.window, out)
+        return out
+
+    def is_visible(self) -> bool:
+        return self._lib.is_visible(self.window)
+
+    def hide_window(self):
+        self._lib.hide_window(self.window)
+
+    def show_window(self):
+        self._lib.show_window(self.window)
+
+    def get_fps(self) -> float:
+        return self._lib.get_fps(self.window)
+
+    def set_fps(self, fps: float):
+        self._lib.set_fps(self.window, fps)
+
+    # models ------------------------------------------------------------
+    def create_model(self, path: Optional[str] = None,
+                     vertex_shader_path: str = "", fragment_shader_path: str = "",
+                     abs_path: Optional[str] = None):
+        p = (abs_path or path or "procedural://heli").encode()
+        return self._lib.create_model(p, vertex_shader_path.encode(),
+                                      fragment_shader_path.encode())
+
+    def create_terrain_model(self, hmap_m: np.ndarray, ns_size_m: float,
+                             ew_size_m: float):
+        """Terrain mesh straight from the heightmap (meters) — replaces the
+        reference's assimp terrain.obj load with the actual physics terrain."""
+        hmap_m = np.ascontiguousarray(hmap_m, np.float32)
+        return self._lib.create_terrain_model(
+            hmap_m, hmap_m.shape[0], hmap_m.shape[1],
+            float(ns_size_m), float(ew_size_m), 1.0)
+
+    def add_permanent_object_to_window(self, model):
+        self._lib.add_permanent_to_window(self.window, model)
+
+    def add_instantanous_object_to_window(self, model):
+        self._lib.add_instantaneous_to_window(self.window, model)
+
+    # transforms (NED -> GL exactly as reference api.py) -----------------
+    def translate_model(self, model, x, y, z):
+        self._lib.translate_model(model, x, -z, y)
+
+    def rotate_model(self, model, phi, theta, psi):
+        self._lib.rotate_model(model, -psi, 0, 1, 0)
+        self._lib.rotate_model(model, theta, 0, 0, 1)
+        self._lib.rotate_model(model, phi, 1, 0, 0)
+
+    def scale_model(self, model, x, y, z):
+        self._lib.scale_model(model, x, -z, y)
+
+    def rotate_MR(self, model, phi, theta, psi):
+        self._lib.rotate_MR(model, phi, -psi, theta)
+
+    def rotate_TR(self, model, phi, theta, psi):
+        self._lib.rotate_TR(model, phi, -psi, theta)
+
+    # camera -------------------------------------------------------------
+    def set_camera_pos(self, x, y, z):
+        self._lib.set_camera_pos(self.camera, x, -z, y)
+
+    def get_camera_pos(self):
+        p = self._lib.get_camera_pos(self.camera)
+        return [p[0], p[1], p[2]]
+
+    def look_at(self, x, y, z):
+        self._lib.set_camera_look_at(self.camera, x, -z, y)
+
+    def coord_from_graphics_to_ned(self, x, y, z):
+        return x, z, -y
+
+    # gui text -----------------------------------------------------------
+    def create_guiText(self, title, pos_x, pos_y, size_x, size_y):
+        return self._lib.create_guiTextVector(self.window, title.encode(),
+                                              pos_x, pos_y, size_x, size_y)
+
+    def add_guiText(self, gui_id, fmts, vals):
+        arr = (ctypes.c_char_p * len(fmts))(*[f.encode() for f in fmts])
+        vals = np.ascontiguousarray(np.asarray(vals, np.float32))
+        self._lib.add_guiText(self.window, gui_id, len(fmts), arr, vals)
+
+    def set_guiText(self, gui_id, fmts, vals):
+        vals = np.ascontiguousarray(np.asarray(vals, np.float32))
+        self._lib.set_guiText(self.window, gui_id, vals)
+
+
+class NativeRenderer:
+    """High-level EnvState renderer: drives the `Renderer` facade exactly the
+    way the reference env drives its renderer (helicopter.py:140-183) —
+    rotor-uniform updates, ft->m NED translation, chase camera — and returns
+    rgb frames."""
+
+    OBS_LABELS = [
+        "POWER      : %5.2f HP", "LON_VEL    : %5.2f FT/S",
+        "LAT_VEL    : %5.2f FT/S", "DWN_VEL    : %5.2f FT/S",
+        "N_VEL      : %5.2f FT/S", "E_VEL      : %5.2f FT/S",
+        "DES_RATE   : %5.2f FT/S", "ROLL       : %5.2f RAD",
+        "PITCH      : %5.2f RAD", "YAW        : %5.2f RAD",
+        "ROLL_RATE  : %5.2f R/S", "PITCH_RATE : %5.2f R/S",
+        "YAW_RATE   : %5.2f R/S", "N_POS      : %5.2f FT",
+        "E_POS      : %5.2f FT", "ALT        : %5.2f FT",
+        "GR_ALT     : %5.2f FT",
+    ]
+
+    def __init__(self, core_env, width: int = 1024, height: int = 768,
+                 terrain_res: int = 256):
+        self.env = core_env
+        self.renderer = Renderer(width, height)
+        self.renderer.set_fps(50.0)
+
+        hmap_ft = np.asarray(core_env.terrain.hmap)
+        step = max(1, hmap_ft.shape[0] // terrain_res)
+        hmap_m = hmap_ft[::step, ::step] * FT2MTR
+        self.terrain = self.renderer.create_terrain_model(
+            hmap_m, core_env.terrain.ns_max * FT2MTR,
+            core_env.terrain.ew_max * FT2MTR)
+        self.renderer.add_permanent_object_to_window(self.terrain)
+
+        self.heli_obj = self.renderer.create_model("procedural://heli")
+        self.renderer.add_permanent_object_to_window(self.heli_obj)
+
+        self.gui_id = self.renderer.create_guiText("OBSERVATIONS", 8.0, 8.0,
+                                                   250.0, 0.0)
+        fmts = ["FPS        : %3.0f"] + self.OBS_LABELS
+        self.renderer.add_guiText(self.gui_id, fmts, np.zeros(len(fmts)))
+        self._fmts = fmts
+
+    def render(self, env_state, mode: str = "rgb_array") -> np.ndarray:
+        heli = env_state.heli
+        xyz = np.asarray(heli.xyz, np.float32).reshape(-1, 3)[0]
+        euler = np.asarray(heli.euler, np.float32).reshape(-1, 3)[0]
+        betas = np.asarray(heli.betas, np.float32).reshape(-1, 2)[0]
+        psi_mr = float(np.asarray(heli.psi_mr).reshape(-1)[0])
+        psi_tr = float(np.asarray(heli.psi_tr).reshape(-1)[0])
+        obs = np.asarray(env_state.obs, np.float32).reshape(-1, 17)[0]
+
+        r = self.renderer
+        vals = np.concatenate([[r.get_fps()], obs]).astype(np.float32)
+        r.set_guiText(self.gui_id, self._fmts, vals)
+
+        r.rotate_MR(self.heli_obj, betas[1], betas[0], psi_mr)
+        r.rotate_TR(self.heli_obj, 0.0, psi_tr, 0.0)
+        x_m, y_m, z_m = (float(xyz[0]) * FT2MTR, float(xyz[1]) * FT2MTR,
+                         float(xyz[2]) * FT2MTR)
+        r.translate_model(self.heli_obj, x_m, y_m, z_m)
+        r.rotate_model(self.heli_obj, float(euler[0]), float(euler[1]),
+                       float(euler[2]))
+        # chase camera 30 m east of the heli (helicopter.py:175-177),
+        # looking at it
+        r.set_camera_pos(x_m, y_m + 30.0, z_m)
+        r.look_at(x_m, y_m, z_m)
+        if not r.is_visible():
+            r.show_window()
+        r.render()
+        return r.get_frame()
+
+    def close(self):
+        self.renderer.terminate()
