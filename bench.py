@@ -7,7 +7,9 @@ steps/s (README.md:62-68, BASELINE.md) — dynamics in Python on an i7-8700K.
 
 The measured program is the full production step: Dryden turbulence with
 on-device RNG, helicopter RK4, hover reward, termination and auto-reset, all
-inside one scanned jitted rollout (no host round-trips inside the timed loop).
+inside one scanned jitted rollout with zero host round-trips. By default the
+fused Pallas path runs (the whole step physics in one Mosaic kernel,
+ops/pallas/fused_step.py); `--unfused` benchmarks the plain XLA path.
 """
 import argparse
 import json
@@ -21,46 +23,47 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--chunk-steps", type=int, default=500)
-    ap.add_argument("--chunks", type=int, default=6)
+    ap.add_argument("--chunks", type=int, default=5)
     ap.add_argument("--flat-terrain", action="store_true")
+    ap.add_argument("--unfused", action="store_true")
     args = ap.parse_args()
 
-    from heligym_tpu.envs import HeliEnv, VectorHeliEnv
+    from heligym_tpu.envs import HeliEnv
     from heligym_tpu.envs.tasks import HoverTask
-    from heligym_tpu.envs.vector import auto_reset
-    from heligym_tpu.parallel import EnvFarm, make_env_mesh, shard_env_state
+    from heligym_tpu.envs.vector import _broadcast_and_fold, auto_reset
+    from heligym_tpu.ops.pallas import build_fused_rollout
 
     env = HeliEnv.build("aw109", task=HoverTask(), flat_ground=args.flat_terrain)
-    mesh = make_env_mesh()
-    n_dev = mesh.devices.size
-    num_envs = (args.num_envs // n_dev) * n_dev
-    farm = EnvFarm.build(env, num_envs, mesh=mesh)
+    num_envs = args.num_envs
+    tr = env.trim_result()
+    es1, _ = env.reset_from_trim(tr, jax.random.PRNGKey(0))
+    es = _broadcast_and_fold(es1, jax.random.PRNGKey(0), num_envs)
+    actions = jnp.tile(jnp.asarray(tr.action), (num_envs, 1))
 
-    es, _ = farm.venv.reset(jax.random.PRNGKey(0))
-    es = shard_env_state(es, mesh)
-    trim_action = jnp.asarray(env.trim_result().action)
+    if args.unfused:
+        def chunk(es, actions):
+            def body(es, _):
+                new_es, out = jax.vmap(env.step)(es, actions)
+                return auto_reset(new_es, out)[0], None
+            es, _ = jax.lax.scan(body, es, None, length=args.chunk_steps)
+            return es
+        roll = jax.jit(chunk, donate_argnums=0)
 
-    def chunk(es, _):
-        def body(es, _):
-            acts = jnp.tile(trim_action, (num_envs, 1))
-            new_es, out = jax.vmap(env.step)(es, acts)
-            new_es, out = auto_reset(new_es, out)
-            return new_es, None
-        es, _ = jax.lax.scan(body, es, None, length=args.chunk_steps)
-        return es, None
+        def run(es):
+            return roll(es, actions)
+    else:
+        fused = build_fused_rollout(env, num_envs, args.chunk_steps, collect=())
+        roll = jax.jit(lambda es, a: fused(es, a)[0], donate_argnums=0)
 
-    from heligym_tpu.parallel import env_sharding
-    sh = env_sharding(mesh)
-    roll = jax.jit(lambda es: jax.lax.scan(chunk, es, None, length=1)[0],
-                   in_shardings=(sh,), out_shardings=sh, donate_argnums=(0,))
+        def run(es):
+            return roll(es, actions)
 
-    # compile + warmup
-    es = roll(es)
+    es = run(es)               # compile + warmup
     jax.block_until_ready(es)
 
     t0 = time.perf_counter()
     for _ in range(args.chunks):
-        es = roll(es)
+        es = run(es)
     jax.block_until_ready(es)
     dt = time.perf_counter() - t0
 

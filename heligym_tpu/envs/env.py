@@ -141,28 +141,49 @@ class HeliEnv:
         return cond
 
     # -- physics sub-steps -------------------------------------------------
-    def heli_step(self, heli: HeliState, action, wind_ned):
+    # All sub-steps are batch-polymorphic: state fields may be () or (B,);
+    # no vmap is involved (see ops/state.py design note).
+
+    def heli_step(self, heli: HeliState, action4, wind_ned3):
         """One helicopter RK4 step + post-step angle wrap
         (dynamics.py:158-171, helicopter_dynamics.py:73-77)."""
-        h_ground = terrain_ops.ground_height(self.terrain, heli.xyz)
+        h_ground = terrain_ops.ground_height(self.terrain, heli.x, heli.y)
+        return self.heli_step_with_h(heli, action4, wind_ned3, h_ground)
 
+    def heli_step_with_h(self, heli: HeliState, action4, wind_ned3, h_ground):
+        """heli_step with the committed-state terrain height precomputed —
+        the seam the fused Pallas path uses (terrain gathers stay in XLA).
+        `action4`/`wind_ned3` are tuples of (batched) scalars."""
         def f(s):
-            dots, obs, _ = eom.heli_dynamics(self.params, s, action, wind_ned, h_ground)
+            dots, obs, _ = eom.heli_dynamics(self.params, s, action4, wind_ned3,
+                                             h_ground)
             return dots, obs
 
         new, k4, obs = rk4(f, heli, self.dt)
         new = new.replace(psi_mr=pi_bound(new.psi_mr), psi_tr=pi_bound(new.psi_tr),
-                          betas=pi_bound(new.betas), euler=pi_bound(new.euler))
+                          b0=pi_bound(new.b0), b1=pi_bound(new.b1),
+                          phi=pi_bound(new.phi), theta=pi_bound(new.theta),
+                          psi=pi_bound(new.psi))
         return new, k4, obs
 
-    def wind_step(self, wind: WindState, wind_action, eta):
+    def wind_step(self, wind: WindState, wind_action4, eta3):
         """One Dryden step with the reference's aliased-k4 integrator."""
         def f(s):
-            dots, obs = dryden.wind_dynamics(self.wind_params, s, wind_action, eta)
+            dots, obs = dryden.wind_dynamics(self.wind_params, s, wind_action4, eta3)
             return dots, obs
 
         new, _, wind_ned = rk4_k4only(f, wind, self.dt)
         return new, wind_ned
+
+    def step_physics(self, heli: HeliState, wind: WindState, wind_action4,
+                     eta3, action4, h_ground):
+        """Wind + helicopter + reward, no RNG/terrain/termination: the exact
+        code the fused Pallas kernel runs on lane-batched rows."""
+        wind_new, wind_ned = self.wind_step(wind, wind_action4, eta3)
+        heli_new, dots, obs = self.heli_step_with_h(heli, action4, wind_ned,
+                                                    h_ground)
+        reward, success_step = self.task.reward(self.normalizers, heli_new, dots)
+        return wind_new, wind_ned, heli_new, dots, obs, reward, success_step
 
     # -- the env step ------------------------------------------------------
     def step(self, es: EnvState, action) -> Tuple[EnvState, StepOutput]:
@@ -176,11 +197,15 @@ class HeliEnv:
         the seam that lets golden tests replay the reference's recorded noise
         (SURVEY.md §5 RNG). `eta` must already be scaled by 1/sqrt(dt)."""
         key = es.key
-        wind_action = jnp.concatenate([es.obs[4:7], es.obs[16:17]], axis=-1)
-        wind_new, wind_ned = self.wind_step(es.wind, wind_action, eta)
-        heli_new, dots, obs = self.heli_step(es.heli, action, wind_ned)
-
-        reward, success_step = self.task.reward(self.normalizers, heli_new, dots)
+        wind_action = (es.obs[..., 4], es.obs[..., 5], es.obs[..., 6],
+                       es.obs[..., 16])
+        action4 = tuple(action[..., i] for i in range(4))
+        eta3 = tuple(eta[..., i] for i in range(3))
+        h_ground = terrain_ops.ground_height(self.terrain, es.heli.x, es.heli.y)
+        wind_new, wind_ned, heli_new, dots, obs_t, reward, success_step = (
+            self.step_physics(es.heli, es.wind, wind_action, eta3, action4,
+                              h_ground))
+        obs = jnp.stack(obs_t, axis=-1)
         steps = es.steps + 1
 
         failed = self._is_failed(heli_new, dots)
@@ -190,7 +215,7 @@ class HeliEnv:
         successed_steps = es.successed_steps + success_step.astype(jnp.int32)
 
         new_es = EnvState(heli=heli_new, wind=wind_new, dots=dots, obs=obs,
-                          wind_ned=wind_ned, steps=steps,
+                          wind_ned=jnp.stack(wind_ned, axis=-1), steps=steps,
                           successed_steps=successed_steps, key=key, init=es.init)
         out = StepOutput(obs=obs, reward=reward, done=done, truncated=time_up,
                          failed=failed, successed=successed, time_up=time_up)
@@ -200,14 +225,15 @@ class HeliEnv:
         """Crash / out-of-bounds detection (helicopter.py:226-234). The roll
         and pitch comparisons are signed, as in the reference."""
         p = self.params
-        touch_alt = terrain_ops.ground_touching_altitude(p, self.terrain, heli.xyz)
-        cond1 = (-heli.xyz[2]) - touch_alt < 0.0
-        cond2 = dots.xyz[2] > p.MR.V_TIP * 0.05
-        cond3 = heli.euler[0] > 60.0 * D2R
-        cond4 = heli.euler[1] > 60.0 * D2R
-        cond5 = ((jnp.abs(heli.xyz[0]) > p.ENV.NS_MAX / 2.0)
-                 | (jnp.abs(heli.xyz[1]) > p.ENV.EW_MAX / 2.0)
-                 | ((-heli.xyz[2]) > touch_alt + 10000.0))
+        touch_alt = terrain_ops.ground_touching_altitude(p, self.terrain,
+                                                         heli.x, heli.y)
+        cond1 = (-heli.z) - touch_alt < 0.0
+        cond2 = dots.z > p.MR.V_TIP * 0.05
+        cond3 = heli.phi > 60.0 * D2R
+        cond4 = heli.theta > 60.0 * D2R
+        cond5 = ((jnp.abs(heli.x) > p.ENV.NS_MAX / 2.0)
+                 | (jnp.abs(heli.y) > p.ENV.EW_MAX / 2.0)
+                 | ((-heli.z) > touch_alt + 10000.0))
         return (cond1 & (cond2 | cond3 | cond4)) | cond5
 
     # -- reset -------------------------------------------------------------

@@ -9,8 +9,9 @@ pattern.
 
 Tasks are static dataclasses: targets are compile-time constants. `reward`
 receives the post-step state and the k4 state-derivatives (the reference's
-`self.heli_dyn.state` / `.state_dots`), is written single-env and is vmapped
-by the vector layer.
+`self.heli_dyn.state` / `.state_dots`). The math is scalar-expression-explicit
+over (possibly lane-batched) state fields, keeping all reductions in the
+reference's sequential order and the whole function Pallas-kernel-legal.
 """
 from __future__ import annotations
 
@@ -59,10 +60,11 @@ class Task:
 
 
 def _pqr_rewards(norm, state, dots):
-    pqr_norm = state.pqr * norm.t
-    pqrdot_norm = dots.pqr * norm.t ** 2
-    final = -jnp.sum(pqr_norm * pqr_norm, axis=-1)
-    terminal = -jnp.sum(jnp.sign(pqr_norm) * pqrdot_norm, axis=-1)
+    pn, qn, rn = state.p * norm.t, state.q * norm.t, state.r * norm.t
+    t2 = norm.t ** 2
+    pdn, qdn, rdn = dots.p * t2, dots.q * t2, dots.r * t2
+    final = -((pn * pn + qn * qn) + rn * rn)
+    terminal = -((jnp.sign(pn) * pdn + jnp.sign(qn) * qdn) + jnp.sign(rn) * rdn)
     return final, terminal
 
 
@@ -78,16 +80,16 @@ class HoverTask(Task):
                 "east_loc": self.east_loc}
 
     def reward(self, norm, state, dots):
-        xyz_norm = state.xyz / norm.x
-        xyzdot_norm = dots.xyz / norm.v
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
         pqr_reward = _shaped(pqr_final, pqr_terminal)
 
-        target = jnp.asarray(
-            [self.north_loc, self.east_loc, -self.sea_alt], dtype=jnp.float32) / norm.x
-        err = xyz_norm - target
-        xyz_final = -jnp.sum(err * err, axis=-1)
-        xyz_terminal = -jnp.sum(jnp.sign(err) * xyzdot_norm, axis=-1)
+        en = state.x / norm.x - jnp.float32(self.north_loc) / norm.x
+        ee = state.y / norm.x - jnp.float32(self.east_loc) / norm.x
+        ed = state.z / norm.x - jnp.float32(-self.sea_alt) / norm.x
+        xyz_final = -((en * en + ee * ee) + ed * ed)
+        xdn, ydn, zdn = dots.x / norm.v, dots.y / norm.v, dots.z / norm.v
+        xyz_terminal = -((jnp.sign(en) * xdn + jnp.sign(ee) * ydn)
+                         + jnp.sign(ed) * zdn)
         xyz_reward = _shaped(xyz_final, xyz_terminal)
 
         reward = (pqr_reward + xyz_reward) / 2.0
@@ -112,11 +114,13 @@ class ForwardFlightTask(Task):
         return {"sea_alt": self.sea_alt, "heading": self.heading, "vel": self.vel}
 
     def reward(self, norm, state, dots):
-        vel = jnp.sqrt(jnp.sum(state.uvw * state.uvw, axis=-1))
+        vel = jnp.sqrt((state.u * state.u + state.v * state.v)
+                       + state.w * state.w)
         vel_norm = vel / norm.v
-        veldot_norm = jnp.sum(state.uvw * dots.uvw, axis=-1) / vel / norm.a
-        dwn_norm = state.xyz[2] / norm.x
-        dwndot_norm = dots.xyz[2] / norm.v
+        veldot_norm = (((state.u * dots.u + state.v * dots.v) + state.w * dots.w)
+                       / vel / norm.a)
+        dwn_norm = state.z / norm.x
+        dwndot_norm = dots.z / norm.v
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
         pqr_reward = _shaped(pqr_final, pqr_terminal)
 
@@ -155,26 +159,27 @@ class ObliqueFlightTask(Task):
 
     def reward(self, norm, state, dots):
         course = self.heading + self.azimuth
-        vel_target = jnp.asarray(
-            [self.vel * math.cos(course), self.vel * math.sin(course)],
-            dtype=jnp.float32) / norm.v
-        # dots.xyz is the NED velocity; NED acceleration is approximated by
+        tv_n = jnp.float32(self.vel * math.cos(course)) / norm.v
+        tv_e = jnp.float32(self.vel * math.sin(course)) / norm.v
+        # dots.{x,y} are the NED velocity; NED acceleration is approximated by
         # rotating the body-frame acceleration (adequate for shaping).
-        ned_vel_norm = dots.xyz[..., :2] / norm.v
-        body2earth = transpose_rows(euler_to_rotmat(state.euler))
-        ned_acc = matvec(body2earth, dots.uvw)
-        ned_acc_norm = ned_acc[..., :2] / norm.a
+        vn = dots.x / norm.v
+        ve = dots.y / norm.v
+        body2earth = transpose_rows(euler_to_rotmat(state.phi, state.theta,
+                                                    state.psi))
+        acc = matvec(body2earth, (dots.u, dots.v, dots.w))
+        an, ae = acc[0] / norm.a, acc[1] / norm.a
 
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
         pqr_reward = _shaped(pqr_final, pqr_terminal)
 
-        err = ned_vel_norm - vel_target
-        vel_final = -jnp.sum(err * err, axis=-1)
-        vel_terminal = -jnp.sum(jnp.sign(err) * ned_acc_norm, axis=-1)
+        en, ee = vn - tv_n, ve - tv_e
+        vel_final = -(en * en + ee * ee)
+        vel_terminal = -(jnp.sign(en) * an + jnp.sign(ee) * ae)
         vel_reward = _shaped(vel_final, vel_terminal)
 
-        dwn_norm = state.xyz[2] / norm.x
-        dwndot_norm = dots.xyz[2] / norm.v
+        dwn_norm = state.z / norm.x
+        dwndot_norm = dots.z / norm.v
         dwn_target = -self.sea_alt / norm.x
         dwn_final = -((dwn_norm - dwn_target) * (dwn_norm - dwn_target))
         dwn_terminal = -(jnp.sign(dwn_norm - dwn_target) * dwndot_norm)

@@ -47,14 +47,14 @@ def base_state_from_cond(params, terrain, cond) -> HeliState:
     """Fixed (non-iterated) state fields from the trim condition
     (reference lines 499-505)."""
     s = HeliState.zeros()
-    s = s.replace(euler=s.euler.at[2].set(np.float32(cond["yaw"])),
+    s = s.replace(psi=jnp.float32(cond["yaw"]),
                   psi_mr=jnp.float32(cond["psi_mr"]),
-                  psi_tr=jnp.float32(cond["psi_tr"]))
-    xyz = jnp.asarray([cond["xy"][0], cond["xy"][1], 0.0], dtype=jnp.float32)
-    s = s.replace(xyz=xyz)
-    touch = terrain_ops.ground_touching_altitude(params, terrain, s.xyz)
+                  psi_tr=jnp.float32(cond["psi_tr"]),
+                  x=jnp.float32(cond["xy"][0]),
+                  y=jnp.float32(cond["xy"][1]))
+    touch = terrain_ops.ground_touching_altitude(params, terrain, s.x, s.y)
     cg_from_bottom = -touch
-    s = s.replace(xyz=s.xyz.at[2].set(cg_from_bottom - np.float32(cond["gr_alt"])))
+    s = s.replace(z=cg_from_bottom - np.float32(cond["gr_alt"]))
     return s
 
 
@@ -66,10 +66,10 @@ def apply_x(params, base: HeliState, x) -> Tuple[HeliState, jnp.ndarray]:
     state = base.replace(
         vi_mr=x[0] * MR.V_TIP,
         vi_tr=x[1] * TR.V_TIP,
-        betas=x[2:4],
-        uvw=x[4:7] * MR.V_TIP,
-        pqr=x[7:10] * MR.OMEGA,
-        euler=base.euler.at[0:2].set(x[10:12]),
+        b0=x[2], b1=x[3],
+        u=x[4] * MR.V_TIP, v=x[5] * MR.V_TIP, w=x[6] * MR.V_TIP,
+        p=x[7] * MR.OMEGA, q=x[8] * MR.OMEGA, r=x[9] * MR.OMEGA,
+        phi=x[10], theta=x[11],
     )
     return state, x[12:16]
 
@@ -79,22 +79,31 @@ def residual_fn(params, terrain, wind_ned, cond):
     (reference lines 557-576). The terrain height is sampled once at the base
     state, mirroring the reference's committed-state semantics."""
     base = base_state_from_cond(params, terrain, cond)
-    h_ground = terrain_ops.ground_height(terrain, base.xyz)
+    h_ground = terrain_ops.ground_height(terrain, base.x, base.y)
 
     def residual(x):
         state, action = apply_x(params, base, x)
-        dots, _, _ = eom.heli_dynamics(params, state, action, wind_ned, h_ground)
-        return jnp.concatenate([
-            dots.vi_mr[None] / params.MR.V_TIP,
-            dots.vi_tr[None] / params.TR.V_TIP,
-            dots.betas,
-            dots.uvw / params.MR.V_TIP,
-            dots.pqr / params.MR.OMEGA,
-            dots.euler,
-            dots.xyz / params.MR.R,
-        ], axis=-1)
+        dots, _, _ = eom.heli_dynamics(
+            params, state, tuple(action[i] for i in range(4)),
+            tuple(wind_ned[..., i] for i in range(3)), h_ground)
+        return _normalized_dots(params, dots)
 
     return base, h_ground, residual
+
+
+def _normalized_dots(params, dots: HeliState) -> jnp.ndarray:
+    """16-vector of normalized derivatives, reference order (lines 568-574)."""
+    return jnp.stack([
+        dots.vi_mr / params.MR.V_TIP,
+        dots.vi_tr / params.TR.V_TIP,
+        dots.b0, dots.b1,
+        dots.u / params.MR.V_TIP, dots.v / params.MR.V_TIP,
+        dots.w / params.MR.V_TIP,
+        dots.p / params.MR.OMEGA, dots.q / params.MR.OMEGA,
+        dots.r / params.MR.OMEGA,
+        dots.phi, dots.theta, dots.psi,
+        dots.x / params.MR.R, dots.y / params.MR.R, dots.z / params.MR.R,
+    ], axis=-1)
 
 
 def initial_guess(params, cond) -> np.ndarray:
@@ -185,10 +194,13 @@ def _trim_on_host(params, terrain, wind_ned, cond) -> TrimResult:
         x, y, tol = x_new, y_new, tol_new
 
     state, action = apply_x(params, base, jnp.asarray(x))
-    dots, obs, _ = jax.jit(
-        lambda s, a: eom.heli_dynamics(params, s, a, wind_ned, h_ground)
+    dots, obs_t, _ = jax.jit(
+        lambda s, a: eom.heli_dynamics(
+            params, s, tuple(a[i] for i in range(4)),
+            tuple(wind_ned[..., i] for i in range(3)), h_ground)
     )(state, action)
-    return TrimResult(state=state, action=jnp.asarray(action), obs=obs, dots=dots)
+    return TrimResult(state=state, action=jnp.asarray(action),
+                      obs=jnp.stack(obs_t, axis=-1), dots=dots)
 
 
 def trim_batched(params, terrain, wind_ned, conds, max_iters: int = 50):
@@ -205,24 +217,17 @@ def trim_batched(params, terrain, wind_ned, conds, max_iters: int = 50):
                 "gr_alt": gr_alt, "xy": xy, "psi_mr": psi_mr, "psi_tr": psi_tr}
         # Base state, traced (conds are dynamic here).
         s = HeliState.zeros()
-        s = s.replace(euler=s.euler.at[2].set(yaw), psi_mr=psi_mr, psi_tr=psi_tr,
-                      xyz=jnp.stack([xy[0], xy[1], jnp.float32(0.0)]))
-        touch = terrain_ops.ground_touching_altitude(params, terrain, s.xyz)
-        base = s.replace(xyz=s.xyz.at[2].set(-touch - gr_alt))
-        h_ground = terrain_ops.ground_height(terrain, base.xyz)
+        s = s.replace(psi=yaw, psi_mr=psi_mr, psi_tr=psi_tr, x=xy[0], y=xy[1])
+        touch = terrain_ops.ground_touching_altitude(params, terrain, s.x, s.y)
+        base = s.replace(z=-touch - gr_alt)
+        h_ground = terrain_ops.ground_height(terrain, base.x, base.y)
 
         def residual(x):
             state, action = apply_x(params, base, x)
-            dots, _, _ = eom.heli_dynamics(params, state, action, wind_ned, h_ground)
-            return jnp.concatenate([
-                dots.vi_mr[None] / params.MR.V_TIP,
-                dots.vi_tr[None] / params.TR.V_TIP,
-                dots.betas,
-                dots.uvw / params.MR.V_TIP,
-                dots.pqr / params.MR.OMEGA,
-                dots.euler,
-                dots.xyz / params.MR.R,
-            ], axis=-1)
+            dots, _, _ = eom.heli_dynamics(
+                params, state, tuple(action[i] for i in range(4)),
+                tuple(wind_ned[..., i] for i in range(3)), h_ground)
+            return _normalized_dots(params, dots)
 
         y_target = jnp.zeros(N_VARS, jnp.float32)
         y_target = y_target.at[-4].set(yaw_rate)
@@ -261,8 +266,11 @@ def trim_batched(params, terrain, wind_ned, conds, max_iters: int = 50):
 
         x_fin, _, _ = jax.lax.while_loop(cont, body, (x0, tol_of(x0), jnp.int32(0)))
         state, action = apply_x(params, base, x_fin)
-        dots, obs, _ = eom.heli_dynamics(params, state, action, wind_ned, h_ground)
-        return TrimResult(state=state, action=action, obs=obs, dots=dots)
+        dots, obs_t, _ = eom.heli_dynamics(
+            params, state, tuple(action[i] for i in range(4)),
+            tuple(wind_ned[..., i] for i in range(3)), h_ground)
+        return TrimResult(state=state, action=action,
+                          obs=jnp.stack(obs_t, axis=-1), dots=dots)
 
     return jax.jit(jax.vmap(solve_one))(
         jnp.asarray(conds["yaw"], jnp.float32),

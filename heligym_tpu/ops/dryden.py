@@ -62,11 +62,65 @@ def mean_wind(wp: WindParams) -> jnp.ndarray:
     return jnp.asarray(wp.mean_ned, dtype=jnp.float32)
 
 
-def turbulence_params(wp: WindParams, h_gr, vel_inf_ned):
-    """Scale lengths, sigmas and turbulence azimuth for the three MIL-HDBK-1797
-    altitude regimes, selected branchlessly (reference lines 54-83)."""
+def _tep_lookup_static_row(level: int, col_key):
+    """TEP lookup specialized for the static turbulence level: the row bracket
+    and row blend factor are Python constants, and the dynamic column
+    selection is unrolled into scalar selects. Value-identical to
+    `table_lookup_2d(_TEP_DATA, level, col_key)` (same entries, same float32
+    expression order) but free of array constants, so it traces inside Pallas
+    kernels."""
+    data = _TEP_DATA.astype(np.float32)
+    n_rows, n_cols = data.shape[0] - 1, data.shape[1] - 1
+    r = int(np.clip(np.searchsorted(data[1:, 0], np.float32(level)) + 1, 2, n_rows))
+    rk0, rk1 = data[r, 0], data[r - 1, 0]
+    r_factor = float(np.clip((np.float32(level) - rk1) / (rk0 - rk1), 0.0, 1.0))
+    col_keys = [float(x) for x in data[0, 1:]]          # 12 static keys
+    row_a = [float(x) for x in data[r - 1, 1:]]          # row r-1 values
+    row_b = [float(x) for x in data[r, 1:]]              # row r values
+
+    # dynamic column bracket: first padded index with key >= col_key, in [2, n]
+    idx = jnp.int32(1)
+    for k in col_keys:
+        idx = idx + (k < col_key).astype(jnp.int32)
+    c = jnp.clip(idx, 2, n_cols)
+
+    def pick(vals):
+        out = jnp.float32(0.0)
+        for j, v in enumerate(vals):
+            out = out + jnp.where(c == j + 1, jnp.float32(v), 0.0)
+        return out
+
+    def pick_m1(vals):
+        out = jnp.float32(0.0)
+        for j, v in enumerate(vals):
+            out = out + jnp.where(c - 1 == j + 1, jnp.float32(v), 0.0)
+        return out
+
+    ck0, ck1 = pick(col_keys), pick_m1(col_keys)
+    c_factor = jnp.clip((col_key - ck1) / (ck0 - ck1), 0.0, 1.0)
+    a0, a1 = pick_m1(row_a), pick(row_a)     # data[r-1, c-1], data[r-1, c]
+    b0, b1 = pick_m1(row_b), pick(row_b)     # data[r,   c-1], data[r,   c]
+    col1 = r_factor * (b0 - a0) + a0
+    col2 = r_factor * (b1 - a1) + a1
+    return col1 + c_factor * (col2 - col1)
+
+
+def _cos_sin_atan2(y, x):
+    """(cos, sin) of atan2(y, x) in closed algebraic form (x/r, y/r) — the
+    azimuth is only ever consumed through cos/sin, and Mosaic has no atan2.
+    atan2(0, 0) = 0 maps to (1, 0), matching cos/sin of the reference value."""
+    r = jnp.sqrt(x * x + y * y)
+    safe = jnp.where(r == 0.0, 1.0, r)
+    return (jnp.where(r == 0.0, 1.0, x / safe),
+            jnp.where(r == 0.0, 0.0, y / safe))
+
+
+def turbulence_params(wp: WindParams, h_gr, vel_inf_n, vel_inf_e):
+    """Scale lengths, sigmas and turbulence azimuth (as cos/sin) for the three
+    MIL-HDBK-1797 altitude regimes, selected branchlessly (reference lines
+    54-83)."""
     w20 = wp.turbulence_level / 7.0 * 88.61
-    tep = table_lookup_2d(jnp.asarray(_TEP_DATA), float(wp.turbulence_level), h_gr)
+    tep = _tep_lookup_static_row(wp.turbulence_level, h_gr)
 
     # Low altitude (h <= 1000 ft).
     hg_lo = jnp.maximum(h_gr, 10.0)
@@ -74,19 +128,20 @@ def turbulence_params(wp: WindParams, h_gr, vel_inf_ned):
     lw_lo = 0.5 * hg_lo
     sw_lo = 0.1 * w20
     su_lo = sw_lo / ((0.177 + 0.000823 * hg_lo) ** 0.4)
-    az_lo = jnp.full_like(h_gr, wp.wind_dir_rad)
+    azc_lo = float(np.cos(np.float32(wp.wind_dir_rad)))
+    azs_lo = float(np.sin(np.float32(wp.wind_dir_rad)))
 
     # High altitude (h >= 2000 ft).
     lu_hi = jnp.full_like(h_gr, 1750.0)
-    az_hi = jnp.arctan2(vel_inf_ned[1], vel_inf_ned[0])
+    azc_hi, azs_hi = _cos_sin_atan2(vel_inf_e, vel_inf_n)
 
     # Medium altitude: interpolation between the two regimes.
     r = (h_gr - 1000.0) / 1000.0
     lu_mid = 1000.0 + r * 750.0
     s_mid = 0.1 * w20 + r * (tep - 0.1 * w20)
-    mean = mean_wind(wp)
-    az_mid = jnp.arctan2(vel_inf_ned[1] * r + mean[1] * (1.0 - r),
-                         vel_inf_ned[0] * r + mean[0] * (1.0 - r))
+    m0, m1, _ = wp.mean_ned          # static floats: no array constants
+    azc_mid, azs_mid = _cos_sin_atan2(vel_inf_e * r + m1 * (1.0 - r),
+                                      vel_inf_n * r + m0 * (1.0 - r))
 
     low = h_gr <= 1000.0
     high = h_gr >= 2000.0
@@ -96,43 +151,42 @@ def turbulence_params(wp: WindParams, h_gr, vel_inf_ned):
     su = jnp.where(low, su_lo, jnp.where(high, tep, s_mid))
     sv = su
     sw = jnp.where(low, sw_lo, jnp.where(high, tep, s_mid))
-    az = jnp.where(low, az_lo, jnp.where(high, az_hi, az_mid))
-    return lu, lv, lw, su, sv, sw, az
+    az_cos = jnp.where(low, azc_lo, jnp.where(high, azc_hi, azc_mid))
+    az_sin = jnp.where(low, azs_lo, jnp.where(high, azs_hi, azs_mid))
+    return lu, lv, lw, su, sv, sw, az_cos, az_sin
 
 
-def wind_dynamics(wp: WindParams, state: WindState, action, eta):
+def wind_dynamics(wp: WindParams, state: WindState, action4, eta3):
     """Dryden filter ODE right-hand side + wind observation.
 
-    `action` = [ned_vel(3), h_gr]; `eta` = (3,) white noise (already scaled by
-    1/sqrt(dt)). Returns (dots: WindState, wind_ned_obs: (3,)).
-    Mirrors wind_dynamics.py:85-125.
+    `action4` = (ned_vel_n, ned_vel_e, ned_vel_d, h_gr) tuple; `eta3` = white
+    noise 3-tuple (already scaled by 1/sqrt(dt)). Returns
+    (dots: WindState, wind_ned: 3-tuple). Mirrors wind_dynamics.py:85-125;
+    batch-polymorphic over (B,)-shaped scalars (see state.py design note).
     """
-    vel_inf_ned = action[:3] + mean_wind(wp)
-    vel_inf = jnp.sqrt(jnp.sum(vel_inf_ned * vel_inf_ned, axis=-1))
-    h_gr = action[3]
-    lu, lv, lw, su, sv, sw, az = turbulence_params(wp, h_gr, vel_inf_ned)
+    m0, m1, m2 = (jnp.float32(x) for x in wp.mean_ned)
+    vi_n, vi_e, vi_d = action4[0] + m0, action4[1] + m1, action4[2] + m2
+    vel_inf = jnp.sqrt(vi_n * vi_n + vi_e * vi_e + vi_d * vi_d)
+    h_gr = action4[3]
+    lu, lv, lw, su, sv, sw, az_cos, az_sin = turbulence_params(wp, h_gr, vi_n, vi_e)
     t_u = lu / (vel_inf + EPS)
     t_v = lv / (vel_inf + EPS)
     t_w = lw / (vel_inf + EPS)
 
-    usdot = 1.0 / t_u * (eta[0] - state.us)
-    vsdot = jnp.stack([
-        1.0 / (4.0 * t_v ** 2) * (eta[1] - state.vs[1]) - 1.0 / t_v * state.vs[0],
-        state.vs[0]], axis=-1)
-    wsdot = jnp.stack([
-        1.0 / (4.0 * t_w ** 2) * (eta[2] - state.ws[1]) - 1.0 / t_w * state.ws[0],
-        state.ws[0]], axis=-1)
-    dots = WindState(us=usdot, vs=vsdot, ws=wsdot)
+    usdot = 1.0 / t_u * (eta3[0] - state.us)
+    vs0dot = 1.0 / (4.0 * t_v ** 2) * (eta3[1] - state.vs1) - 1.0 / t_v * state.vs0
+    ws0dot = 1.0 / (4.0 * t_w ** 2) * (eta3[2] - state.ws1) - 1.0 / t_w * state.ws0
+    dots = WindState(us=usdot, vs0=vs0dot, vs1=state.vs0,
+                     ws0=ws0dot, ws1=state.ws0)
 
     k_u = su * jnp.sqrt(TWO_D_PI * t_u)
     k_v = sv * jnp.sqrt(TWO_D_PI * t_v)
     k_w = sw * jnp.sqrt(TWO_D_PI * t_w)
     u_turb = k_u * state.us
-    v_turb = k_v * (state.vs[1] + 2.0 * SQRT_3 * state.vs[0])
-    w_turb = k_w * (state.ws[1] + 2.0 * SQRT_3 * state.ws[0])
-    c, s = jnp.cos(az), jnp.sin(az)
-    turb = jnp.stack([c * u_turb - s * v_turb,
-                      s * u_turb + c * v_turb,
-                      w_turb], axis=-1)
-    wind_ned = mean_wind(wp) + turb
+    v_turb = k_v * (state.vs1 + 2.0 * SQRT_3 * state.vs0)
+    w_turb = k_w * (state.ws1 + 2.0 * SQRT_3 * state.ws0)
+    c, s = az_cos, az_sin
+    wind_ned = (m0 + (c * u_turb - s * v_turb),
+                m1 + (s * u_turb + c * v_turb),
+                m2 + w_turb)
     return dots, wind_ned

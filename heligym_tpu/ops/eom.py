@@ -4,8 +4,9 @@ Parity target: /root/reference/heligym/envs/dynamics/helicopter_dynamics.py:400-
 (control mapping 413-422, kinematics 423-431, force/moment summation 446-455 in
 the reference's exact accumulation order, observation 471-488).
 
-Pure function of (params, state, action, wind, committed terrain height); all
-batching comes from `jax.vmap`, all time stepping from the integrator.
+Pure, batch-polymorphic function over the scalarized HeliState: single env,
+vectorized batch and Pallas-kernel lanes all run this exact code — no vmap,
+no stacked small vectors (see state.py design note).
 """
 import jax.numpy as jnp
 
@@ -13,96 +14,104 @@ from ..utils.constants import D2R
 from ..utils.math import cross
 from . import aero, gear, rotor
 from .atmosphere import air_properties
-from .kinematics import euler_to_rotmat, matvec, pqr_to_eulerdot_mat, transpose_rows
+from .kinematics import euler_to_rotmat, matvec, pqr_to_eulerdot, transpose_rows
 from .state import HeliState
 
 
-def control_inputs(p, action):
-    """Normalized [-1, 1]^4 action -> (coll, lon, lat, pedal) in radians
-    (reference lines 413-422)."""
+def control_inputs(p, a0, a1, a2, a3):
+    """Normalized [-1, 1] action channels -> (coll, lon, lat, pedal) in
+    radians (reference lines 413-422)."""
     H = p.HELI
-    coll = D2R * (H.COL_OS + 0.5 * action[0] * (H.COL_H - H.COL_L)
+    coll = D2R * (H.COL_OS + 0.5 * a0 * (H.COL_H - H.COL_L)
                   + 0.5 * (H.COL_H + H.COL_L))
-    lon = D2R * (0.5 * action[1] * (H.LON_H - H.LON_L) + 0.5 * (H.LON_H + H.LON_L))
-    lat = D2R * (0.5 * action[2] * (H.LAT_H - H.LAT_L) + 0.5 * (H.LAT_H + H.LAT_L))
-    pedal = D2R * (H.PED_OS + 0.5 * action[3] * (H.PED_H - H.PED_L)
+    lon = D2R * (0.5 * a1 * (H.LON_H - H.LON_L) + 0.5 * (H.LON_H + H.LON_L))
+    lat = D2R * (0.5 * a2 * (H.LAT_H - H.LAT_L) + 0.5 * (H.LAT_H + H.LAT_L))
+    pedal = D2R * (H.PED_OS + 0.5 * a3 * (H.PED_H - H.PED_L)
                    + 0.5 * (H.PED_H + H.PED_L))
     return coll, lon, lat, pedal
 
 
-def heli_dynamics(p, state: HeliState, action, wind_ned, h_ground):
+def heli_dynamics(p, s: HeliState, action4, wind_ned3, h_ground):
     """State derivative + observation.
 
     Args:
       p: static HeliParams.
-      state: HeliState (single env; vmap for batches).
-      action: (4,) normalized controls.
-      wind_ned: (3,) NED wind velocity [ft/s] applied this step.
+      s: scalarized HeliState (leaves () or (B,)).
+      action4: 4-tuple of normalized control channels.
+      wind_ned3: 3-tuple NED wind velocity [ft/s] applied this step.
       h_ground: terrain height at the *committed* CG position [ft] — constant
         across RK4 stages, mirroring the reference's `self.state` reads.
 
     Returns:
-      (dots: HeliState, obs: (17,) f32, power_total)
-    The 17-dim observation is only meaningful when evaluated at the k4 stage
-    (reference sets it there); unused outputs are DCE'd by XLA elsewhere.
+      (dots: HeliState, obs: 17-tuple of scalars, power_total)
+    The observation is only meaningful at the k4 stage (the reference sets it
+    there); unused outputs are DCE'd by XLA elsewhere.
     """
-    coll, lon, lat, pedal = control_inputs(p, action)
+    coll, lon, lat, pedal = control_inputs(p, *action4)
 
-    earth2body = euler_to_rotmat(state.euler)
+    earth2body = euler_to_rotmat(s.phi, s.theta, s.psi)
     body2earth = transpose_rows(earth2body)
-    euler_dot = matvec(pqr_to_eulerdot_mat(state.euler), state.pqr)
-    ned_vel = matvec(body2earth, state.uvw)
-    uvw_air = state.uvw - matvec(earth2body, wind_ned)
+    uvw = (s.u, s.v, s.w)
+    pqr = (s.p, s.q, s.r)
+    phi_dot, theta_dot, psi_dot = pqr_to_eulerdot(s.phi, s.theta, s.p, s.q, s.r)
+    ned_vel = matvec(body2earth, uvw)
+    wind_body = matvec(earth2body, wind_ned3)
+    uvw_air = (s.u - wind_body[0], s.v - wind_body[1], s.w - wind_body[2])
 
     power_climb = p.HELI.WT * (-ned_vel[2])
-    _, rho = air_properties(p.ENV, -state.xyz[2])
+    _, rho = air_properties(p.ENV, -s.z)
 
-    force_mr, moment_mr, power_mr, betas_dot, vi_mr_dot, psi_mr_dot = rotor.main_rotor(
-        p, rho, coll, lon, lat, state.betas, uvw_air, state.pqr, state.vi_mr)
-    force_tr, moment_tr, power_tr, vi_tr_dot, psi_tr_dot = rotor.tail_rotor(
-        p, rho, pedal, uvw_air, state.pqr, state.vi_tr)
-    force_fus, moment_fus, power_fus = aero.fuselage(p, rho, uvw_air, state.vi_mr)
-    force_ht, moment_ht = aero.horizontal_tail(p, rho, uvw_air, state.pqr, state.vi_mr)
-    force_vt, moment_vt = aero.vertical_tail(p, rho, uvw_air, state.pqr, state.vi_tr)
-    force_wn, moment_wn, power_wn = aero.wing(p, rho, uvw_air, state.vi_mr)
-    force_lg, moment_lg = gear.landing_gear(
-        p, state.xyz, ned_vel, body2earth, state.pqr, h_ground)
+    (f_mr, m_mr, power_mr, b0_dot, b1_dot, vi_mr_dot, psi_mr_dot) = rotor.main_rotor(
+        p, rho, coll, lon, lat, s.b0, s.b1, uvw_air, pqr, s.vi_mr)
+    f_tr, m_tr, power_tr, vi_tr_dot, psi_tr_dot = rotor.tail_rotor(
+        p, rho, pedal, uvw_air, pqr, s.vi_tr)
+    f_fus, m_fus, power_fus = aero.fuselage(p, rho, uvw_air, s.vi_mr)
+    f_ht, m_ht = aero.horizontal_tail(p, rho, uvw_air, pqr, s.vi_mr)
+    f_vt, m_vt = aero.vertical_tail(p, rho, uvw_air, pqr, s.vi_tr)
+    f_wn, m_wn, power_wn = aero.wing(p, rho, uvw_air, s.vi_mr)
+    f_lg, m_lg = gear.landing_gear(p, (s.x, s.y, s.z), ned_vel, body2earth,
+                                   pqr, h_ground)
 
     # Climb + fuselage power are charged to main-rotor torque (lines 448-450).
     power_extra_mr = power_climb + power_fus
     extra_mr_torque = power_extra_mr / p.MR.OMEGA
-    moment_mr = moment_mr.at[..., 2].add(extra_mr_torque)
+    m_mr = (m_mr[0], m_mr[1], m_mr[2] + extra_mr_torque)
 
     power_total = (power_mr + power_tr + power_extra_mr + power_wn
                    + 550.0 * p.HELI.HP_LOSS)
-    wt_vec = jnp.stack([jnp.zeros_like(rho), jnp.zeros_like(rho),
-                        jnp.full_like(rho, p.HELI.WT)], axis=-1)
-    force_gravity = matvec(earth2body, wt_vec)
-    # Accumulation order matches reference lines 454-455 exactly.
-    force_total = (force_mr + force_tr + force_fus + force_ht + force_vt
-                   + force_wn + force_gravity + force_lg)
-    moment_total = (moment_mr + moment_tr + moment_fus + moment_ht + moment_vt
-                    + moment_wn + moment_lg)
+    wt_vec = (jnp.zeros_like(rho), jnp.zeros_like(rho),
+              jnp.full_like(rho, p.HELI.WT))
+    f_grav = matvec(earth2body, wt_vec)
+    # Accumulation order matches reference lines 454-455 exactly, per component.
+    force = tuple(f_mr[i] + f_tr[i] + f_fus[i] + f_ht[i] + f_vt[i]
+                  + f_wn[i] + f_grav[i] + f_lg[i] for i in range(3))
+    moment = tuple(m_mr[i] + m_tr[i] + m_fus[i] + m_ht[i] + m_vt[i]
+                   + m_wn[i] + m_lg[i] for i in range(3))
 
-    body_acc = force_total / p.HELI.M
-    uvw_dot = body_acc - cross(state.pqr, state.uvw)
-    i_pqr = matvec(p.HELI.I, state.pqr)
-    pqr_dot = matvec(p.HELI.IINV, moment_total - cross(state.pqr, i_pqr))
-    xyz_dot = ned_vel
+    body_acc = tuple(force[i] / p.HELI.M for i in range(3))
+    w_cross_v = cross(pqr, uvw)
+    uvw_dot = tuple(body_acc[i] - w_cross_v[i] for i in range(3))
+    i_pqr = matvec(p.HELI.I, pqr)
+    w_cross_iw = cross(pqr, i_pqr)
+    pqr_dot = matvec(p.HELI.IINV,
+                     tuple(moment[i] - w_cross_iw[i] for i in range(3)))
 
-    dots = HeliState(vi_mr=vi_mr_dot, vi_tr=vi_tr_dot,
-                     psi_mr=psi_mr_dot, psi_tr=psi_tr_dot,
-                     betas=betas_dot, uvw=uvw_dot, pqr=pqr_dot,
-                     euler=euler_dot, xyz=xyz_dot)
+    dots = HeliState(
+        vi_mr=vi_mr_dot, vi_tr=vi_tr_dot, psi_mr=psi_mr_dot, psi_tr=psi_tr_dot,
+        b0=b0_dot, b1=b1_dot,
+        u=uvw_dot[0], v=uvw_dot[1], w=uvw_dot[2],
+        p=pqr_dot[0], q=pqr_dot[1], r=pqr_dot[2],
+        phi=phi_dot, theta=theta_dot, psi=psi_dot,
+        x=ned_vel[0], y=ned_vel[1], z=ned_vel[2])
 
-    # Observation (lines 471-488): 17 dims, ground altitude against the
+    # Observation (lines 471-488): 17 scalars, ground altitude against the
     # committed terrain height.
     power_total_hp = power_total / 550.0
-    alt_gr = -state.xyz[2] - h_ground
-    obs = jnp.concatenate([
-        power_total_hp[..., None],
-        uvw_air, ned_vel, state.euler, state.pqr,
-        state.xyz[..., 0][..., None], state.xyz[..., 1][..., None],
-        (-state.xyz[..., 2])[..., None], alt_gr[..., None],
-    ], axis=-1)
+    alt_gr = -s.z - h_ground
+    obs = (power_total_hp,
+           uvw_air[0], uvw_air[1], uvw_air[2],
+           ned_vel[0], ned_vel[1], ned_vel[2],
+           s.phi, s.theta, s.psi,
+           s.p, s.q, s.r,
+           s.x, s.y, -s.z, alt_gr)
     return dots, obs, power_total

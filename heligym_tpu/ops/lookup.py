@@ -50,18 +50,31 @@ class Table:
 
 def _bracket(keys, key, n):
     """Smallest index r in [2, n] (into the padded table) with keys[r] >= key.
-    `keys` is the padded column/row of length n+1 whose entries 1..n are real."""
-    idx = jnp.searchsorted(keys[1:], key, side="left") + 1
+    `keys` is the padded column/row of length n+1 whose entries 1..n are real.
+    Computed as a mask count (not searchsorted) so it also lowers inside
+    Pallas/Mosaic kernels."""
+    idx = jnp.sum((keys[1:] < key).astype(jnp.int32)) + 1
     return jnp.clip(idx, 2, n)
+
+
+def _pick(vec, idx):
+    """vec[idx] for a traced scalar idx without a gather op (mask-sum over the
+    tiny table dimension) — Mosaic-safe, bit-identical selection."""
+    ids = jnp.arange(vec.shape[0])
+    return jnp.sum(jnp.where(ids == idx, vec, 0.0))
 
 
 def table_lookup_1d(data, key):
     n = data.shape[0] - 1
     r = _bracket(data[:, 0], key, n)
-    span = data[r, 0] - data[r - 1, 0]
-    factor = jnp.where(span != 0.0, (key - data[r - 1, 0]) / jnp.where(span != 0.0, span, 1.0), 1.0)
+    keys_col = data[:, 0]
+    vals_col = data[:, 1]
+    d_r0, d_r1 = _pick(keys_col, r), _pick(keys_col, r - 1)
+    v_r0, v_r1 = _pick(vals_col, r), _pick(vals_col, r - 1)
+    span = d_r0 - d_r1
+    factor = jnp.where(span != 0.0, (key - d_r1) / jnp.where(span != 0.0, span, 1.0), 1.0)
     factor = jnp.minimum(factor, 1.0)
-    value = factor * (data[r, 1] - data[r - 1, 1]) + data[r - 1, 1]
+    value = factor * (v_r0 - v_r1) + v_r1
     # Reference edge handling (lookup.py:120-125), including the high-end bug
     # where the last KEY (column 0) is returned instead of the last value.
     value = jnp.where(key <= data[1, 0], data[1, 1], value)
@@ -74,8 +87,21 @@ def table_lookup_2d(data, row_key, col_key):
     n_cols = data.shape[1] - 1
     r = _bracket(data[:, 0], row_key, n_rows)
     c = _bracket(data[0, :], col_key, n_cols)
-    r_factor = jnp.clip((row_key - data[r - 1, 0]) / (data[r, 0] - data[r - 1, 0]), 0.0, 1.0)
-    c_factor = jnp.clip((col_key - data[0, c - 1]) / (data[0, c] - data[0, c - 1]), 0.0, 1.0)
-    col1 = r_factor * (data[r, c - 1] - data[r - 1, c - 1]) + data[r - 1, c - 1]
-    col2 = r_factor * (data[r, c] - data[r - 1, c]) + data[r - 1, c]
+    # mask-based 2D cell selection (Mosaic-safe; identical values to indexing)
+    rids = jnp.arange(data.shape[0])[:, None]
+    cids = jnp.arange(data.shape[1])[None, :]
+
+    def cell(ri, ci):
+        return jnp.sum(jnp.where((rids == ri) & (cids == ci), data, 0.0))
+
+    rk0, rk1 = _pick(data[:, 0], r), _pick(data[:, 0], r - 1)
+    ck0, ck1 = _pick(data[0, :], c), _pick(data[0, :], c - 1)
+    r_factor = jnp.clip((row_key - rk1) / (rk0 - rk1), 0.0, 1.0)
+    c_factor = jnp.clip((col_key - ck1) / (ck0 - ck1), 0.0, 1.0)
+    d_rc = cell(r, c)
+    d_rc1 = cell(r, c - 1)
+    d_r1c = cell(r - 1, c)
+    d_r1c1 = cell(r - 1, c - 1)
+    col1 = r_factor * (d_rc1 - d_r1c1) + d_r1c1
+    col2 = r_factor * (d_rc - d_r1c) + d_r1c
     return col1 + c_factor * (col2 - col1)

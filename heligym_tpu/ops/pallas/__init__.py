@@ -1,0 +1,1 @@
+from .fused_step import build_fused_core, build_fused_rollout

@@ -5,22 +5,25 @@ Parity targets:
   tail rotor — helicopter_dynamics.py:272-300
 
 Branch sites converted to `jnp.where`:
-  * the wake function hard step at VTRANS (line 249) — both sides are finite,
+  * the wake function hard step at VTRANS (line 249) — both sides finite,
     so a plain where is exact;
   * CT clamp (line 241) -> jnp.maximum.
 sqrt arguments are sums of squares, so the always-evaluated branch is NaN-safe.
 
-All math is scalar-per-env elementwise (VPU); params are static Python floats
-folded into the compiled graph.
+All vectors are 3-tuples of (batched) scalars: pure elementwise VPU math,
+batch-polymorphic, Pallas-kernel-legal. Params are static Python floats folded
+into the compiled graph.
 """
 import math
 
 import jax.numpy as jnp
 
 
-def main_rotor(p, rho, coll, lon, lat, betas, uvw_air, pqr, vi_mr):
-    """Returns (force(3), moment(3), power, betas_dot(2), vi_mr_dot, psi_mr_dot)."""
+def main_rotor(p, rho, coll, lon, lat, b0, b1, uvw_air, pqr, vi_mr):
+    """Returns (force3, moment3, power, b0_dot, b1_dot, vi_mr_dot, psi_mr_dot).
+    `uvw_air`/`pqr` are 3-tuples; forces/moments are 3-tuples."""
     MR, HELI = p.MR, p.HELI
+    ua, va, wa = uvw_air
 
     # Flapping coupling coefficients (lines 208-219).
     GAM_OM16 = rho * MR.GAM_OM16_DRO
@@ -31,8 +34,8 @@ def main_rotor(p, rho, coll, lon, lat, betas, uvw_air, pqr, vi_mr):
     DL_DA1 = rho * MR.DL_DA1_DRO
 
     # Blade-equivalent axial flow and quasi-steady thrust (lines 222-229).
-    v_adv_2 = uvw_air[0] * uvw_air[0] + uvw_air[1] * uvw_air[1]
-    wr = uvw_air[2] + (betas[0] - MR.IS) * uvw_air[0] - betas[1] * uvw_air[1]
+    v_adv_2 = ua * ua + va * va
+    wr = wa + (b0 - MR.IS) * ua - b1 * va
     wb = (wr + 0.66667 * MR.V_TIP * (coll + 0.75 * MR.TWST)
           + v_adv_2 / MR.V_TIP * (coll + 0.5 * MR.TWST))
     thrust = (wb - vi_mr) * (rho * MR.COEF_TH)
@@ -54,33 +57,30 @@ def main_rotor(p, rho, coll, lon, lat, betas, uvw_air, pqr, vi_mr):
     DA1DU = -DB1DV
 
     # TPP (flapping) dynamics with the wake step at VTRANS (lines 248-254).
-    wake_fn = jnp.where(jnp.abs(uvw_air[0]) > HELI.VTRANS, 1.0, 0.0)
-    a_sum = betas[1] - lat + KC * betas[0] + DB1DV * uvw_air[1] * (1.0 + wake_fn)
-    b_sum = betas[0] + lon - KC * betas[1] + DA1DU * uvw_air[0] * (1.0 + 2.0 * wake_fn)
-    betas_dot = jnp.stack([
-        -ITB * b_sum - ITB2_OM * a_sum - pqr[1],
-        -ITB * a_sum + ITB2_OM * b_sum - pqr[0],
-    ], axis=-1)
+    wake_fn = jnp.where(jnp.abs(ua) > HELI.VTRANS, 1.0, 0.0)
+    a_sum = b1 - lat + KC * b0 + DB1DV * va * (1.0 + wake_fn)
+    b_sum = b0 + lon - KC * b1 + DA1DU * ua * (1.0 + 2.0 * wake_fn)
+    b0_dot = -ITB * b_sum - ITB2_OM * a_sum - pqr[1]
+    b1_dot = -ITB * a_sum + ITB2_OM * b_sum - pqr[0]
 
     psi_mr_dot = jnp.full_like(vi_mr, MR.OMEGA)
 
     # Force/moment composition incl. hub stiffness moments (lines 260-269).
-    X = -thrust * (betas[0] - MR.IS)
-    Y = thrust * betas[1]
+    X = -thrust * (b0 - MR.IS)
+    Y = thrust * b1
     Z = -thrust
-    L = Y * MR.H + DL_DB1 * betas[1] + DL_DA1 * (betas[0] + lon - MR.K1 * betas[1])
-    M = Z * MR.D - X * MR.H + DL_DB1 * betas[0] + DL_DA1 * (-betas[1] + lat - MR.K1 * betas[0])
+    L = Y * MR.H + DL_DB1 * b1 + DL_DA1 * (b0 + lon - MR.K1 * b1)
+    M = Z * MR.D - X * MR.H + DL_DB1 * b0 + DL_DA1 * (-b1 + lat - MR.K1 * b0)
     N = torque
-    force = jnp.stack([X, Y, Z], axis=-1)
-    moment = jnp.stack([L, M, N], axis=-1)
-    return force, moment, power, betas_dot, vi_mr_dot, psi_mr_dot
+    return (X, Y, Z), (L, M, N), power, b0_dot, b1_dot, vi_mr_dot, psi_mr_dot
 
 
 def tail_rotor(p, rho, pedal, uvw_air, pqr, vi_tr):
-    """Returns (force(3), moment(3), power, vi_tr_dot, psi_tr_dot)."""
+    """Returns (force3, moment3, power, vi_tr_dot, psi_tr_dot)."""
     TR = p.TR
-    v_adv_2 = (uvw_air[2] + pqr[1] * TR.D) ** 2 + uvw_air[0] ** 2
-    vr = -(uvw_air[1] - pqr[2] * TR.D + pqr[0] * TR.H)
+    ua, va, wa = uvw_air
+    v_adv_2 = (wa + pqr[1] * TR.D) ** 2 + ua ** 2
+    vr = -(va - pqr[2] * TR.D + pqr[0] * TR.H)
     vb = (vr + 0.66667 * TR.V_TIP * (pedal + 0.75 * TR.TWST)
           + v_adv_2 / TR.V_TIP * (pedal + 0.5 * TR.TWST))
 
@@ -99,6 +99,4 @@ def tail_rotor(p, rho, pedal, uvw_air, pqr, vi_tr):
     L = Y * TR.H
     N = -Y * TR.D
     zero = jnp.zeros_like(Y)
-    force = jnp.stack([zero, Y, zero], axis=-1)
-    moment = jnp.stack([L, zero, N], axis=-1)
-    return force, moment, power, vi_tr_dot, psi_tr_dot
+    return (zero, Y, zero), (L, zero, N), power, vi_tr_dot, psi_tr_dot

@@ -60,15 +60,16 @@ def flat_terrain(env, height: float = 0.0, size: int = 64) -> Terrain:
     return Terrain(hmap=hmap, normal=normal, ns_max=env.NS_MAX, ew_max=env.EW_MAX)
 
 
-def ground_height(terrain: Terrain, xyz) -> jnp.ndarray:
-    """Terrain height [ft] under NED position `xyz` — reference lines 167-195."""
+def ground_height(terrain: Terrain, x, y) -> jnp.ndarray:
+    """Terrain height [ft] under NED position (x, y) — reference lines 167-195.
+    Batch-polymorphic: scalar or (B,) coordinates."""
     hmap = terrain.hmap
     h, w = hmap.shape
     x_scale = terrain.ns_max / h     # ft per pixel, north-south
     y_scale = terrain.ew_max / w     # ft per pixel, east-west
 
-    x_loc = xyz[0] / x_scale + h // 2
-    y_loc = xyz[1] / y_scale + w // 2
+    x_loc = x / x_scale + h // 2
+    y_loc = y / y_scale + w // 2
     # Clamp into the map. NB: the y-clamp uses shape[0], replicating the
     # reference's quirk at line 182 (equal for square maps).
     x_loc = jnp.clip(x_loc, 0.0, float(h - 1))
@@ -90,6 +91,6 @@ def ground_height(terrain: Terrain, xyz) -> jnp.ndarray:
             + (east - middle) * (y_loc - y_ind.astype(y_loc.dtype)))
 
 
-def ground_touching_altitude(params, terrain: Terrain, xyz) -> jnp.ndarray:
+def ground_touching_altitude(params, terrain: Terrain, x, y) -> jnp.ndarray:
     """Sea-level altitude at which the CG touches ground (reference lines 200-201)."""
-    return ground_height(terrain, xyz) + params.HELI.WL_CG / 12.0
+    return ground_height(terrain, x, y) + params.HELI.WL_CG / 12.0

@@ -16,9 +16,10 @@ def pi_bound(x):
 
 
 def cross(a, b):
-    """3-vector cross product, component order matching reference utils.py:6-14."""
-    return jnp.stack([
+    """3-vector cross product over tuple vectors, component order matching
+    reference utils.py:6-14. Returns a 3-tuple of (batched) scalars."""
+    return (
         a[1] * b[2] - a[2] * b[1],
         a[2] * b[0] - a[0] * b[2],
         a[0] * b[1] - a[1] * b[0],
-    ], axis=-1)
+    )

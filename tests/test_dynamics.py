@@ -15,13 +15,16 @@ def test_dynamics_matches_reference(fixtures):
     p = load_params("aw109")
     terr = T.load_terrain(p.ENV)
 
-    def one(vec, action, wind):
-        s = HeliState.unflatten(vec)
-        h = T.ground_height(terr, s.xyz)
-        dots, obs, _ = heli_dynamics(p, s, action, wind, h)
-        return dots.flatten(), obs
+    def batch(vecs, actions, winds):
+        # batch-polymorphic physics: no vmap, batched fields straight through
+        s = HeliState.unflatten(vecs)
+        h = T.ground_height(terr, s.x, s.y)
+        dots, obs, _ = heli_dynamics(
+            p, s, tuple(actions[:, i] for i in range(4)),
+            tuple(winds[:, i] for i in range(3)), h)
+        return dots.flatten(), jnp.stack(obs, axis=-1)
 
-    dots, obs = jax.jit(jax.vmap(one))(
+    dots, obs = jax.jit(batch)(
         jnp.asarray(f["states"]), jnp.asarray(f["actions"]), jnp.asarray(f["winds"]))
     dots, obs = np.asarray(dots), np.asarray(obs)
     ref_dots, ref_obs = f["dots"], f["obs"]

@@ -34,9 +34,8 @@ def test_native_renderer(hover_env, hover_trim):
     # HUD text drawn in the top-left corner
     assert (frame[:80, :180] >= 220).all(axis=-1).any()
     # a second render with moved state produces a different frame
-    import jax
     es2 = es.replace(heli=es.heli.replace(
-        xyz=es.heli.xyz + np.asarray([500.0, 0.0, -200.0], np.float32)))
+        x=es.heli.x + 500.0, z=es.heli.z - 200.0))
     frame2 = r.render(es2)
     assert (frame != frame2).any()
     r.close()

@@ -17,66 +17,77 @@ def p():
     return load_params("aw109")
 
 
-def _batch(fn):
-    return jax.jit(jax.vmap(fn))
+def _tup(arr):
+    """(N, k) fixture array -> k-tuple of (N,) components (the physics'
+    batch-polymorphic calling convention — no vmap needed)."""
+    arr = jnp.asarray(arr)
+    return tuple(arr[:, i] for i in range(arr.shape[1]))
+
+
+def _stack(t):
+    return np.stack([np.asarray(c) for c in t], axis=-1)
 
 
 def test_main_rotor(fixtures, p):
     f = fixtures("terms")
-    fn = _batch(lambda rho, coll, lon, lat, betas, uvw_air, pqr, vi:
-                rotor.main_rotor(p, rho, coll, lon, lat, betas, uvw_air, pqr, vi))
-    force, moment, power, betas_dot, vi_dot, _ = fn(
-        jnp.asarray(f["rho"], jnp.float32), jnp.asarray(f["coll"], jnp.float32),
-        jnp.asarray(f["lon"], jnp.float32), jnp.asarray(f["lat"], jnp.float32),
-        jnp.asarray(f["betas"]), jnp.asarray(f["uvw_air"]),
-        jnp.asarray(f["pqr"]), jnp.asarray(f["vi_mr"]))
-    np.testing.assert_allclose(force, f["mr_force"], rtol=RTOL, atol=ATOL)
-    np.testing.assert_allclose(moment, f["mr_moment"], rtol=RTOL, atol=0.5)
+    betas = jnp.asarray(f["betas"])
+    force, moment, power, b0_dot, b1_dot, vi_dot, _ = jax.jit(
+        lambda: rotor.main_rotor(
+            p, jnp.asarray(f["rho"], jnp.float32),
+            jnp.asarray(f["coll"], jnp.float32), jnp.asarray(f["lon"], jnp.float32),
+            jnp.asarray(f["lat"], jnp.float32), betas[:, 0], betas[:, 1],
+            _tup(f["uvw_air"]), _tup(f["pqr"]), jnp.asarray(f["vi_mr"])))()
+    np.testing.assert_allclose(_stack(force), f["mr_force"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(_stack(moment), f["mr_moment"], rtol=RTOL, atol=0.5)
     np.testing.assert_allclose(power, f["mr_power"], rtol=1e-4, atol=50.0)
-    np.testing.assert_allclose(betas_dot, f["mr_betas_dot"], rtol=RTOL, atol=1e-3)
-    np.testing.assert_allclose(vi_dot[:, None], f["mr_vi_dot"], rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(_stack((b0_dot, b1_dot)), f["mr_betas_dot"],
+                               rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vi_dot)[:, None], f["mr_vi_dot"],
+                               rtol=RTOL, atol=1e-3)
 
 
 def test_tail_rotor(fixtures, p):
     f = fixtures("terms")
-    fn = _batch(lambda rho, pedal, uvw_air, pqr, vi:
-                rotor.tail_rotor(p, rho, pedal, uvw_air, pqr, vi))
-    force, moment, power, vi_dot, _ = fn(
-        jnp.asarray(f["rho"], jnp.float32), jnp.asarray(f["pedal"], jnp.float32),
-        jnp.asarray(f["uvw_air"]), jnp.asarray(f["pqr"]),
-        jnp.asarray(f["vi_tr"]))
-    np.testing.assert_allclose(force, f["tr_force"], rtol=RTOL, atol=ATOL)
-    np.testing.assert_allclose(moment, f["tr_moment"], rtol=RTOL, atol=0.2)
+    force, moment, power, vi_dot, _ = jax.jit(
+        lambda: rotor.tail_rotor(
+            p, jnp.asarray(f["rho"], jnp.float32),
+            jnp.asarray(f["pedal"], jnp.float32),
+            _tup(f["uvw_air"]), _tup(f["pqr"]), jnp.asarray(f["vi_tr"])))()
+    np.testing.assert_allclose(_stack(force), f["tr_force"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(_stack(moment), f["tr_moment"], rtol=RTOL, atol=0.2)
     np.testing.assert_allclose(power, f["tr_power"], rtol=1e-4, atol=20.0)
-    np.testing.assert_allclose(vi_dot[:, None], f["tr_vi_dot"], rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vi_dot)[:, None], f["tr_vi_dot"],
+                               rtol=RTOL, atol=1e-3)
 
 
 def test_fuselage(fixtures, p):
     f = fixtures("terms")
-    fn = _batch(lambda rho, uvw_air, vi: aero.fuselage(p, rho, uvw_air, vi))
-    force, moment, power = fn(jnp.asarray(f["rho"], jnp.float32),
-                              jnp.asarray(f["uvw_air"]), jnp.asarray(f["vi_mr"]))
-    np.testing.assert_allclose(force, f["fus_force"], rtol=RTOL, atol=ATOL)
-    np.testing.assert_allclose(moment, f["fus_moment"], rtol=RTOL, atol=0.5)
+    force, moment, power = jax.jit(
+        lambda: aero.fuselage(p, jnp.asarray(f["rho"], jnp.float32),
+                              _tup(f["uvw_air"]), jnp.asarray(f["vi_mr"])))()
+    np.testing.assert_allclose(_stack(force), f["fus_force"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(_stack(moment), f["fus_moment"], rtol=RTOL, atol=0.5)
     np.testing.assert_allclose(power, f["fus_power"], rtol=1e-4, atol=50.0)
 
 
 def test_horizontal_tail(fixtures, p):
     f = fixtures("terms")
-    fn = _batch(lambda rho, uvw_air, pqr, vi: aero.horizontal_tail(p, rho, uvw_air, pqr, vi))
-    force, moment = fn(jnp.asarray(f["rho"], jnp.float32), jnp.asarray(f["uvw_air"]),
-                       jnp.asarray(f["pqr"]), jnp.asarray(f["vi_mr"]))
-    np.testing.assert_allclose(force, f["ht_force"], rtol=RTOL, atol=ATOL)
-    np.testing.assert_allclose(moment, f["ht_moment"], rtol=RTOL, atol=0.5)
+    force, moment = jax.jit(
+        lambda: aero.horizontal_tail(p, jnp.asarray(f["rho"], jnp.float32),
+                                     _tup(f["uvw_air"]), _tup(f["pqr"]),
+                                     jnp.asarray(f["vi_mr"])))()
+    np.testing.assert_allclose(_stack(force), f["ht_force"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(_stack(moment), f["ht_moment"], rtol=RTOL, atol=0.5)
 
 
 def test_vertical_tail(fixtures, p):
     f = fixtures("terms")
-    fn = _batch(lambda rho, uvw_air, pqr, vi: aero.vertical_tail(p, rho, uvw_air, pqr, vi))
-    force, moment = fn(jnp.asarray(f["rho"], jnp.float32), jnp.asarray(f["uvw_air"]),
-                       jnp.asarray(f["pqr"]), jnp.asarray(f["vi_tr"]))
-    np.testing.assert_allclose(force, f["vt_force"], rtol=RTOL, atol=ATOL)
-    np.testing.assert_allclose(moment, f["vt_moment"], rtol=RTOL, atol=0.5)
+    force, moment = jax.jit(
+        lambda: aero.vertical_tail(p, jnp.asarray(f["rho"], jnp.float32),
+                                   _tup(f["uvw_air"]), _tup(f["pqr"]),
+                                   jnp.asarray(f["vi_tr"])))()
+    np.testing.assert_allclose(_stack(force), f["vt_force"], rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(_stack(moment), f["vt_moment"], rtol=RTOL, atol=0.5)
 
 
 def test_branch_coverage(fixtures, p):

@@ -10,8 +10,8 @@ def test_ground_height_matches_reference(fixtures):
     f = fixtures("terrain")
     p = load_params("aw109")
     terr = T.load_terrain(p.ENV)
-    xyz = np.stack([f["x"], f["y"], np.zeros_like(f["x"])], -1).astype(np.float32)
-    heights = jax.jit(jax.vmap(lambda v: T.ground_height(terr, v)))(xyz)
+    heights = jax.jit(lambda x, y: T.ground_height(terr, x, y))(
+        np.asarray(f["x"], np.float32), np.asarray(f["y"], np.float32))
     # reference computes in float64 from the same uint16 raw data; our float32
     # map is within ~1e-3 ft at 8.8k ft scale
     np.testing.assert_allclose(np.asarray(heights), f["h"], atol=2e-2)
@@ -22,5 +22,5 @@ def test_committed_heights_in_dynamics_fixture(fixtures):
     p = load_params("aw109")
     terr = T.load_terrain(p.ENV)
     xyz = f["states"][:, 15:18].astype(np.float32)
-    heights = jax.jit(jax.vmap(lambda v: T.ground_height(terr, v)))(xyz)
+    heights = jax.jit(lambda x, y: T.ground_height(terr, x, y))(xyz[:, 0], xyz[:, 1])
     np.testing.assert_allclose(np.asarray(heights), f["heights"], atol=2e-2)

@@ -23,12 +23,15 @@ def test_wind_trajectory_matches_reference(fixtures, wp, regime):
     etas = f[f"{regime}_eta"].astype(np.float32)
     action = jnp.asarray(f[f"{regime}_action"])
 
+    action4 = tuple(action[i] for i in range(4))
+
     @jax.jit
     def step(ws, eta):
         def rhs(s):
-            return dryden.wind_dynamics(wp, s, action, eta)
+            return dryden.wind_dynamics(wp, s, action4,
+                                        (eta[0], eta[1], eta[2]))
         new, _, obs = rk4_k4only(rhs, ws, DT)
-        return new, obs
+        return new, jnp.stack(obs, axis=-1)
 
     ws = WindState.zeros()
     states, obs_list = [], []
@@ -57,15 +60,18 @@ def test_turbulence_distribution_matches_reference(fixtures, wp):
     f = fixtures("wind")
     action = jnp.asarray(f["low_action"])
 
+    action4 = tuple(action[i] for i in range(4))
+
     @jax.jit
     def step(carry, key):
         ws = carry
         eta = jax.random.normal(key, (3,), jnp.float32) * (1.0 / DT) ** 0.5
 
         def rhs(s):
-            return dryden.wind_dynamics(wp, s, action, eta)
+            return dryden.wind_dynamics(wp, s, action4,
+                                        (eta[0], eta[1], eta[2]))
         new, _, obs = rk4_k4only(rhs, ws, DT)
-        return new, obs
+        return new, jnp.stack(obs, axis=-1)
 
     def run_chain(seed):
         keys = jax.random.split(jax.random.PRNGKey(seed), 500)
