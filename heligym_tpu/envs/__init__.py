@@ -4,4 +4,5 @@ from .tasks import (ForwardFlightTask, HoverTask, Normalizers, ObliqueFlightTask
 from . import trim as trim_lib
 from .trim import TrimResult, trim_batched
 from .vector import VectorHeliEnv, auto_reset, broadcast_state, rollout
-from .gym_api import Heli, HeliHover, HeliForwardFlight, HeliObliqueFlight
+from .gym_api import (Heli, HeliHover, HeliForwardFlight, HeliObliqueFlight,
+                      HeliVectorGymEnv)

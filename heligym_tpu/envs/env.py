@@ -73,6 +73,11 @@ class StepOutput:
     time_up: jnp.ndarray
 
 
+def _non_finite(x):
+    """NaN-or-inf test via primitives available in Mosaic kernels."""
+    return (x != x) | (jnp.abs(x) > jnp.float32(1e30))
+
+
 def _accum_steps_until(threshold: float, dt: float, strict: bool) -> int:
     """Smallest n such that the reference's float64 running sum of n*dt crosses
     `threshold` (strictly if `strict`). The reference accumulates python-float
@@ -211,7 +216,15 @@ class HeliEnv:
         failed = self._is_failed(heli_new, dots)
         successed = es.successed_steps >= self.success_steps_required
         time_up = steps >= self.time_up_steps
-        done = failed | successed
+        # The reference writes `done = ... or reward == np.nan` intending a NaN
+        # guard that never fires (helicopter.py:203). Implemented correctly
+        # here, plus a non-finite state failsafe: tumbling through gimbal lock
+        # (|theta| -> 90 deg) produces inf Euler rates without tripping the
+        # signed crash tests, and an un-terminated NaN env would poison a
+        # whole training batch.
+        bad = _non_finite(reward) | _non_finite(heli_new.z) | _non_finite(heli_new.u)
+        done = failed | successed | bad
+        failed = failed | bad
         successed_steps = es.successed_steps + success_step.astype(jnp.int32)
 
         new_es = EnvState(heli=heli_new, wind=wind_new, dots=dots, obs=obs,

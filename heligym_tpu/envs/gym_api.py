@@ -156,6 +156,49 @@ class Heli(gym.Env, EzPickle):
             self._renderer = None
 
 
+class HeliVectorGymEnv(gym.vector.VectorEnv):
+    """Gymnasium VectorEnv facade over the on-device vectorized env: familiar
+    `reset()/step()` numpy interface, all simulation (incl. auto-reset) on
+    device. For maximum throughput use VectorHeliEnv / the fused rollout
+    directly and keep data on device."""
+
+    def __init__(self, num_envs: int, heli_name: str = "aw109",
+                 task: Optional[Task] = None):
+        from .vector import VectorHeliEnv
+        self._core = HeliEnv.build(heli_name, task=task or HoverTask())
+        self._venv = VectorHeliEnv(self._core, num_envs)
+        self.num_envs = num_envs
+        self.single_observation_space = spaces.Box(
+            -np.inf, np.inf, shape=(OBS_DIM,), dtype=np.float32)
+        self.single_action_space = spaces.Box(-1.0, 1.0, (ACT_DIM,),
+                                              dtype=np.float32)
+        self.observation_space = gym.vector.utils.batch_space(
+            self.single_observation_space, num_envs)
+        self.action_space = gym.vector.utils.batch_space(
+            self.single_action_space, num_envs)
+        self._state = None
+        self._trim = None
+
+    def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
+        key = jax.random.PRNGKey(seed or 0)
+        if self._trim is None:
+            self._trim = self._core.trim_result(
+                (options or {}).get("trim_cond"))
+        self._state, obs = self._venv.reset_from_trim(self._trim, key)
+        return np.asarray(obs), {}
+
+    def step(self, actions):
+        self._state, out = self._venv.step(self._state,
+                                           jnp.asarray(actions, jnp.float32))
+        return (np.asarray(out.obs), np.asarray(out.reward),
+                np.asarray(out.done), np.asarray(out.truncated),
+                {"failed": np.asarray(out.failed),
+                 "successed": np.asarray(out.successed)})
+
+    def close(self):
+        pass
+
+
 class HeliHover(Heli):
     """Hover task (helicopter_with_tasks.py:5-52)."""
     _task_cls = HoverTask

@@ -25,6 +25,23 @@ def broadcast_state(es: EnvState, n: int) -> EnvState:
         lambda x: jnp.broadcast_to(x, (n,) + jnp.shape(x)), es)
 
 
+@functools.partial(jax.jit, static_argnums=3)
+def _assemble_batched(tr, wind_mean, key, n: int) -> EnvState:
+    """EnvState from a batched TrimResult (per-env initial conditions)."""
+    from .env import ResetSnapshot
+    from ..ops.state import WindState
+
+    wind0 = WindState.zeros((n,))
+    wm = jnp.broadcast_to(wind_mean, (n, 3))
+    snap = ResetSnapshot(heli=tr.state, wind=wind0, dots=tr.dots, obs=tr.obs,
+                         wind_ned=wm)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    return EnvState(heli=tr.state, wind=wind0, dots=tr.dots, obs=tr.obs,
+                    wind_ned=wm, steps=jnp.zeros((n,), jnp.int32),
+                    successed_steps=jnp.zeros((n,), jnp.int32), key=keys,
+                    init=snap)
+
+
 @functools.partial(jax.jit, static_argnums=2)
 def _broadcast_and_fold(es_single: EnvState, key, n: int) -> EnvState:
     """Jitted reset assembly: broadcast the trim state and fold per-env keys
@@ -76,6 +93,20 @@ class VectorHeliEnv:
     def reset_from_trim(self, tr: TrimResult, key) -> Tuple[EnvState, jnp.ndarray]:
         es_single, obs = self.env.reset_from_trim(tr, key)
         es = _broadcast_and_fold(es_single, key, self.num_envs)
+        return es, es.obs
+
+    def reset_randomized(self, key, cond_sampler) -> Tuple[EnvState, jnp.ndarray]:
+        """Per-env randomized initial conditions via the on-device batched
+        Newton trim (SURVEY.md §7 hard part 5): `cond_sampler(key, n) ->
+        dict of batched trim-condition arrays` (see trim.trim_batched)."""
+        from .trim import trim_batched
+        from ..ops import dryden
+        k_cond, k_env = jax.random.split(key)
+        conds = cond_sampler(k_cond, self.num_envs)
+        tr = trim_batched(self.env.params, self.env.terrain,
+                          dryden.mean_wind(self.env.wind_params), conds)
+        es = _assemble_batched(tr, dryden.mean_wind(self.env.wind_params),
+                               k_env, self.num_envs)
         return es, es.obs
 
     @functools.partial(jax.jit, static_argnums=0)

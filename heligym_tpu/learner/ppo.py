@@ -115,8 +115,14 @@ class PPOLearner:
             clipped = jnp.clip(action, -1.0, 1.0)
             new_es, out = jax.vmap(self.env.step)(es, clipped)
             new_es, out = auto_reset(new_es, out)
+            # The terminating step of a blown-up env can carry a non-finite
+            # reward before the env's NaN guard resets it; sanitize so one env
+            # cannot poison GAE/grads for the whole batch.
+            reward = jnp.clip(jnp.nan_to_num(out.reward, nan=-100.0,
+                                             posinf=100.0, neginf=-100.0),
+                              -100.0, 100.0)
             tr = Transition(obs=es.obs, action=action, log_prob=log_prob,
-                            value=value, reward=out.reward,
+                            value=value, reward=reward,
                             done=(out.done | out.truncated))
             return (new_es, key), tr
 

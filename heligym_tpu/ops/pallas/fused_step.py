@@ -36,6 +36,10 @@ from ...utils.constants import D2R
 LANES = 128
 
 
+def _nonfin(x):
+    return (x != x) | (jnp.abs(x) > jnp.float32(1e30))
+
+
 def _kernel(env: HeliEnv,
             heli_ref, wind_ref, obs_ref, h_ref, eta_ref, act_ref,
             o_heli, o_wind, o_obs, o_rew, o_succ, o_dotz):
@@ -145,6 +149,9 @@ def build_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
                      | (jnp.abs(hy) > p.ENV.EW_MAX / 2.0)
                      | ((-hz) > touch + 10000.0))
             failed = (cond1 & (cond2 | cond3 | cond4)) | cond5
+            # NaN/inf failsafe, matching HeliEnv.step (see env.py note)
+            bad = (_nonfin(rew) | _nonfin(hz) | _nonfin(heli_p[6]))
+            failed = failed | bad
             successed = succ >= succ_need     # pre-increment, like HeliEnv.step
             steps = steps + 1
             time_up = steps >= time_up_steps
