@@ -73,6 +73,48 @@ class StepOutput:
     time_up: jnp.ndarray
 
 
+def _trim_cache_path(model_name, wind_params, cond) -> str:
+    import hashlib
+    import os
+    blob = repr((model_name, wind_params.mean_ned,
+                 sorted((k, repr(v)) for k, v in cond.items()))).encode()
+    digest = hashlib.sha1(blob).hexdigest()[:16]
+    root = os.environ.get("HELIGYM_TPU_CACHE",
+                          os.path.join(os.path.expanduser("~"), ".cache",
+                                       "heligym_tpu"))
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"trim_{model_name}_{digest}.npz")
+
+
+def _trim_cache_load(model_name, wind_params, cond) -> Optional[TrimResult]:
+    import numpy as np
+    import os
+    path = _trim_cache_path(model_name, wind_params, cond)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            from ..ops.state import HeliState
+            return TrimResult(
+                state=HeliState.unflatten(jnp.asarray(z["state"])),
+                action=jnp.asarray(z["action"]),
+                obs=jnp.asarray(z["obs"]),
+                dots=HeliState.unflatten(jnp.asarray(z["dots"])))
+    except Exception:
+        return None
+
+
+def _trim_cache_store(model_name, wind_params, cond, tr: TrimResult) -> None:
+    import numpy as np
+    path = _trim_cache_path(model_name, wind_params, cond)
+    try:
+        np.savez(path, state=np.asarray(tr.state.flatten()),
+                 action=np.asarray(tr.action), obs=np.asarray(tr.obs),
+                 dots=np.asarray(tr.dots.flatten()))
+    except Exception:
+        pass
+
+
 def _non_finite(x):
     """NaN-or-inf test via primitives available in Mosaic kernels."""
     return (x != x) | (jnp.abs(x) > jnp.float32(1e30))
@@ -250,10 +292,23 @@ class HeliEnv:
         return (cond1 & (cond2 | cond3 | cond4)) | cond5
 
     # -- reset -------------------------------------------------------------
-    def trim_result(self, trim_cond: Optional[dict] = None) -> TrimResult:
+    def trim_result(self, trim_cond: Optional[dict] = None,
+                    use_cache: bool = True) -> TrimResult:
+        """Newton trim for the given condition, with a small persistent disk
+        cache: trim is deterministic in (model, condition, mean wind), and the
+        host solve costs seconds — repeated runs and tests reuse it."""
         cond = self.default_trim_cond()
         cond.update(trim_cond or {})
-        return trim(self.params, self.terrain, dryden.mean_wind(self.wind_params), cond)
+        if not use_cache:
+            return trim(self.params, self.terrain,
+                        dryden.mean_wind(self.wind_params), cond)
+        cached = _trim_cache_load(self.params.name, self.wind_params, cond)
+        if cached is not None:
+            return cached
+        tr = trim(self.params, self.terrain,
+                  dryden.mean_wind(self.wind_params), cond)
+        _trim_cache_store(self.params.name, self.wind_params, cond, tr)
+        return tr
 
     def reset_from_trim(self, tr: TrimResult, key) -> Tuple[EnvState, jnp.ndarray]:
         """EnvState at a solved trim point (reference reset, helicopter.py:208-217).

@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics-out", default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="path to save (and periodically update) the full "
+                         "training state")
+    ap.add_argument("--resume", default=None,
+                    help="path of a checkpoint to resume from")
     args = ap.parse_args(argv)
 
     env = HeliEnv.build("aw109", task=TASKS[args.task]())
@@ -37,7 +42,9 @@ def main(argv=None):
     print(f"devices: {jax.devices()}  envs: {cfg.num_envs}  "
           f"steps/update: {cfg.num_envs * cfg.rollout_steps}")
     t0 = time.time()
-    ts, history = learner.train(jax.random.PRNGKey(args.seed), args.updates)
+    ts, history = learner.train(jax.random.PRNGKey(args.seed), args.updates,
+                                checkpoint_path=args.checkpoint,
+                                resume_from=args.resume)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "

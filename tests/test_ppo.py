@@ -43,3 +43,28 @@ def test_policy_deterministic_head(learner):
     act = learner.policy(ts.params, obs)
     assert act.shape == (16, 4)
     assert (np.abs(np.asarray(act)) <= 1.0).all()
+
+
+def test_fused_collector_single_device(hover_env):
+    """The fused Pallas collection path (single-device mesh) trains finitely."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=128, rollout_steps=8, minibatches=2, epochs=2,
+                    hidden=(32, 32), use_fused_rollout=True)
+    learner = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(3))
+    step = learner.train_step_fn()
+    ts, metrics = step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_checkpoint_resume(tmp_path, learner):
+    ts = learner.init(jax.random.PRNGKey(4))
+    step = learner.train_step_fn()
+    ts, _ = step(ts)
+    path = str(tmp_path / "ppo_ckpt.npz")
+    learner.save(path, ts)
+    restored = learner.restore(path, ts)
+    ts2, m2 = step(restored)
+    ts1, m1 = step(ts)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
