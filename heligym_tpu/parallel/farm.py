@@ -82,6 +82,45 @@ class EnvFarm:
         return jax.jit(_rollout, in_shardings=(sh, None), donate_argnums=(0,))
 
 
+def build_sharded_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
+                                mesh: Optional[Mesh] = None,
+                                collect=("reward", "done"),
+                                auto_reset: bool = True):
+    """Multi-device fused rollout: the Pallas mega-kernel wrapped in
+    `shard_map` over the mesh's env axis. Each device runs the fused kernel on
+    its local env shard; there is no cross-device communication in the step
+    (the physics is elementwise over envs), so scaling is linear by
+    construction. Per-env RNG keys live in the sharded state, so trajectories
+    are identical to the single-device fused path.
+
+    Returns a jittable f(es, actions) -> (es', outputs) like
+    `build_fused_rollout`."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas import build_fused_rollout
+    from .mesh import ENV_AXIS
+
+    mesh = mesh or make_env_mesh()
+    n_dev = mesh.devices.size
+    if num_envs % n_dev != 0:
+        raise ValueError(f"num_envs={num_envs} not divisible by {n_dev} devices")
+    local = num_envs // n_dev
+    inner = build_fused_rollout(env, local, steps, collect=collect,
+                                auto_reset=auto_reset)
+
+    shard = P(ENV_AXIS)
+    out_specs = (shard, {k: P(None, ENV_AXIS) for k in
+                         (set(collect) | ({"truncated"} if "done" in collect else set()))})
+    if "obs" in collect:
+        out_specs[1]["obs"] = P(None, ENV_AXIS, None)
+
+    def sharded(es: EnvState, actions):
+        return jax.shard_map(inner, mesh=mesh, in_specs=(shard, shard),
+                             out_specs=out_specs, check_vma=False)(es, actions)
+
+    return jax.jit(sharded)
+
+
 def farm_metrics(out: StepOutput) -> dict:
     """Cross-env aggregate metrics; under a sharded jit these reductions
     become ICI collectives automatically."""

@@ -62,3 +62,31 @@ def test_farm_divisibility_check(hover_env, devices):
     mesh = make_env_mesh(devices)
     with pytest.raises(ValueError):
         EnvFarm.build(hover_env, 12, mesh=mesh)
+
+
+def test_sharded_fused_rollout_matches_single_device(hover_env, hover_trim,
+                                                     devices):
+    """The shard_map-wrapped fused Pallas rollout must reproduce the
+    single-device fused rollout bit-for-bit (per-env keys live in the sharded
+    state; the step is communication-free)."""
+    import jax.numpy as jnp
+    from heligym_tpu.envs import VectorHeliEnv
+    from heligym_tpu.ops.pallas import build_fused_rollout
+    from heligym_tpu.parallel import shard_env_state
+    from heligym_tpu.parallel.farm import build_sharded_fused_rollout
+
+    B, STEPS = 1024, 8
+    venv = VectorHeliEnv(hover_env, B)
+    es, _ = venv.reset_from_trim(hover_trim, jax.random.PRNGKey(0))
+    acts = jnp.tile(jnp.asarray(hover_trim.action), (B, 1))
+
+    es1, o1 = jax.jit(build_fused_rollout(hover_env, B, STEPS))(es, acts)
+
+    mesh = make_env_mesh(devices)
+    es8, o8 = build_sharded_fused_rollout(hover_env, B, STEPS, mesh=mesh)(
+        shard_env_state(es, mesh), acts)
+
+    np.testing.assert_array_equal(np.asarray(o1["reward"]),
+                                  np.asarray(o8["reward"]))
+    np.testing.assert_array_equal(np.asarray(es1.heli.flatten()),
+                                  np.asarray(es8.heli.flatten()))
