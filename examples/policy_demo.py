@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Roll out a trained PPO policy and render it with the native rasterizer.
+
+    python examples/policy_demo.py --checkpoint examples/hover_policy.npz \
+        --out examples/hover_policy.gif
+"""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heligym_tpu.envs import HeliEnv
+from heligym_tpu.envs.tasks import HoverTask
+from heligym_tpu.learner import PPOConfig, PPOLearner
+from heligym_tpu.parallel import make_env_mesh
+from heligym_tpu.render import get_renderer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="examples/hover_policy.npz")
+    ap.add_argument("--out", default="examples/hover_policy.gif")
+    ap.add_argument("--num-envs", type=int, default=2048,
+                    help="must match the checkpoint's training config")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--every", type=int, default=8)
+    args = ap.parse_args()
+
+    env = HeliEnv.build("aw109", task=HoverTask())
+    learner = PPOLearner(env, PPOConfig(num_envs=args.num_envs),
+                        mesh=make_env_mesh(jax.devices()[:1]))
+    template = learner.init(jax.random.PRNGKey(0))
+    ts = learner.restore(args.checkpoint, template)
+
+    es, obs = env.reset(jax.random.PRNGKey(42))
+    step = jax.jit(env.step)
+    policy = jax.jit(lambda o: learner.policy(ts.params, o[None])[0])
+
+    renderer = get_renderer(env)
+    frames, rewards = [], []
+    for t in range(args.steps):
+        act = policy(es.obs)
+        es, out = step(es, act)
+        rewards.append(float(out.reward))
+        if t % args.every == 0:
+            frames.append(np.asarray(renderer.render(es)))
+        if bool(out.done):
+            print(f"episode ended at step {t}")
+            break
+    renderer.close()
+
+    import imageio.v2 as imageio
+    imageio.mimsave(args.out, frames, duration=0.12, loop=0)
+    print(f"wrote {args.out}: {len(frames)} frames; "
+          f"mean reward {np.mean(rewards):+.3f}; "
+          f"final alt {float(es.obs[15]):.0f} ft (target 4000)")
+
+
+if __name__ == "__main__":
+    main()
