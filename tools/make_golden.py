@@ -349,8 +349,37 @@ def main():
     record_wind(WindDynamics, rng)
     record_trim(env)
     record_rollouts(hwt, WindDynamics)
+    record_second_airframe(HelicopterDynamics)
     print("done ->", FIXTURE_DIR)
 
 
 if __name__ == "__main__":
     main()
+
+
+def record_second_airframe(HelicopterDynamics, repo_root="/root/repo"):
+    """Validate the physics on a second airframe: run the reference dynamics
+    with heligym_tpu's aw109_heavy parameter data and record derivative
+    fixtures (the env wrapper is not needed for this check)."""
+    import yaml
+    with open(os.path.join(repo_root, "heligym_tpu/models/aw109_heavy.yaml")) as f:
+        params = yaml.safe_load(f)
+    # the reference loads its terrain through these ENV keys
+    params["ENV"]["HMAP_PATH"] = "/models/terrain/terrain_hmap.png"
+    params["ENV"]["NMAP_PATH"] = "/models/terrain/terrain_normal.png"
+    dyn = HelicopterDynamics(params, 0.02)
+    dyn.set_wind(np.zeros(3, np.float32))
+    rng = np.random.RandomState(77)
+    states, actions, winds = random_states(rng, 128, dyn)
+    dots_all, obs_all = [], []
+    for sv, act, wind in zip(states, actions, winds):
+        set_state_vec(dyn, sv)
+        dyn.set_wind(wind.copy())
+        dyn.action = act.copy()
+        dots = dyn.dynamics(dyn.state, set_observation=True)
+        dots_all.append(np.asarray(dots.val, np.float32).copy())
+        obs_all.append(np.asarray(dyn.observation, np.float64).copy())
+    np.savez(os.path.join(FIXTURE_DIR, "dynamics_heavy.npz"),
+             states=states, actions=actions, winds=winds,
+             dots=np.stack(dots_all), obs=np.stack(obs_all))
+    print("dynamics_heavy.npz:", len(states), "cases")
