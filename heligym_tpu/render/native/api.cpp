@@ -52,6 +52,12 @@ Model* create_terrain_model(const float* hmap, int h, int w, float ns_size_m,
   return sr::make_terrain(hmap, h, w, ns_size_m, ew_size_m, height_scale_m);
 }
 
+Model* create_terrain_model_textured(const float* hmap, const float* rgb,
+                                     int h, int w, float ns_size_m,
+                                     float ew_size_m, float height_scale_m) {
+  return sr::make_terrain(hmap, h, w, ns_size_m, ew_size_m, height_scale_m, rgb);
+}
+
 void destroy_model(Model* m) { delete m; }
 
 void add_permanent_to_window(Window* w, Model* m) { w->permanent.push_back(m); }

@@ -63,10 +63,12 @@ void Window::draw_model(Model* mdl) {
 
     for (size_t i = 0; i + 2 < mesh.indices.size(); i += 3) {
       Vec4 clip[3];
-      Vec3 world_n[3], world_p[3];
+      Vec3 world_n[3], world_p[3], vcol[3];
       bool reject = false;
+      bool has_colors = !mesh.colors.empty();
       for (int k = 0; k < 3; ++k) {
         uint32_t idx = mesh.indices[i + k];
+        vcol[k] = has_colors ? mesh.colors[idx] : mesh.color;
         Vec3 p = mesh.positions[idx];
         Vec3 n = idx < mesh.normals.size() ? mesh.normals[idx] : Vec3{0, 1, 0};
         if (has_groups && mesh.groups[idx] != GROUP_BODY) {
@@ -83,7 +85,7 @@ void Window::draw_model(Model* mdl) {
         if (clip[k].w < 0.5f) reject = true;   // near-plane reject
       }
       if (reject) continue;
-      draw_triangle(clip, world_n, world_p, mesh.color, mesh.shaded);
+      draw_triangle(clip, world_n, world_p, vcol, mesh.shaded);
     }
   }
   // reference semantics: transforms & rotor angles reset after draw
@@ -94,7 +96,7 @@ void Window::draw_model(Model* mdl) {
 }
 
 void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
-                           const Vec3& color, bool shaded) {
+                           const Vec3* vcol, bool shaded) {
   // NDC -> screen
   float sx[3], sy[3], sz[3];
   for (int k = 0; k < 3; ++k) {
@@ -129,6 +131,7 @@ void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
       zbuffer[zi] = z;
 
       Vec3 out;
+      Vec3 color = vcol[0] * w0 + vcol[1] * w1 + vcol[2] * w2;
       if (shaded) {
         Vec3 n = normalize(wn[0] * w0 + wn[1] * w1 + wn[2] * w2);
         float diff = std::max(0.0f, dot(n, ldir));
@@ -358,7 +361,8 @@ Model* make_sky_dome() {
 }
 
 Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
-                    float ew_size_m, float height_scale_m) {
+                    float ew_size_m, float height_scale_m,
+                    const float* rgb) {
   auto* mdl = new Model();
   Mesh mesh;
   mesh.color = {0.42f, 0.47f, 0.33f};
@@ -376,6 +380,10 @@ Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
       mesh.positions.push_back({north, up, east});
       mesh.normals.push_back({0, 1, 0});
       mesh.groups.push_back(GROUP_BODY);
+      if (rgb) {
+        size_t o = (static_cast<size_t>(r) * w + c) * 3;
+        mesh.colors.push_back({rgb[o], rgb[o + 1], rgb[o + 2]});
+      }
     }
   }
   for (int r = 0; r + 1 < h; ++r) {

@@ -28,6 +28,7 @@ struct Mesh {
   std::vector<Vec3> normals;
   std::vector<uint32_t> indices;   // triangle list
   std::vector<uint8_t> groups;     // per-vertex rotor group
+  std::vector<Vec3> colors;        // optional per-vertex colors (textured)
   Vec3 color{0.8f, 0.8f, 0.8f};
   bool shaded = true;              // false: emissive (sky)
 };
@@ -96,7 +97,7 @@ struct Window {
   void render();
   void draw_model(Model* m);
   void draw_triangle(const Vec4* clip, const Vec3* world_n, const Vec3* world_p,
-                     const Vec3& color, bool shaded);
+                     const Vec3* vcol, bool shaded);
   void clear();
   void draw_text(int x, int y, const std::string& s, uint8_t r, uint8_t g, uint8_t b);
   int create_guiText(const char* title, float x, float y);
@@ -107,6 +108,7 @@ Model* load_obj(const std::string& path);
 Model* make_procedural_heli();
 Model* make_sky_dome();
 Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
-                    float ew_size_m, float height_scale_m);
+                    float ew_size_m, float height_scale_m,
+                    const float* rgb = nullptr);
 
 }  // namespace sr

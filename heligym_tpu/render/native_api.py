@@ -51,6 +51,11 @@ def _load():
     lib.create_terrain_model.argtypes = [
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         c.c_int, c.c_int, c.c_float, c.c_float, c.c_float]
+    lib.create_terrain_model_textured.restype = c.c_void_p
+    lib.create_terrain_model_textured.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        c.c_int, c.c_int, c.c_float, c.c_float, c.c_float]
     lib.create_procedural_model.restype = c.c_void_p
     lib.create_procedural_model.argtypes = [c.c_char_p]
     lib.destroy_model.argtypes = [c.c_void_p]
@@ -94,6 +99,22 @@ def _load():
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def _load_terrain_texture(step: int, shape):
+    """Per-vertex colors from the terrain texture asset (None if absent)."""
+    asset = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "assets", "terrain.npz")
+    try:
+        with np.load(asset) as z:
+            if "tex_raw" not in z.files:
+                return None
+            tex = z["tex_raw"][::step, ::step, :3].astype(np.float32) / 255.0
+        if tex.shape[:2] != tuple(shape):
+            return None
+        return tex
+    except Exception:
+        return None
 
 
 class Renderer:
@@ -152,10 +173,16 @@ class Renderer:
                                       fragment_shader_path.encode())
 
     def create_terrain_model(self, hmap_m: np.ndarray, ns_size_m: float,
-                             ew_size_m: float):
+                             ew_size_m: float, texture_rgb=None):
         """Terrain mesh straight from the heightmap (meters) — replaces the
-        reference's assimp terrain.obj load with the actual physics terrain."""
+        reference's assimp terrain.obj load with the actual physics terrain.
+        `texture_rgb`: optional (H, W, 3) float [0,1] per-vertex colors."""
         hmap_m = np.ascontiguousarray(hmap_m, np.float32)
+        if texture_rgb is not None:
+            tex = np.ascontiguousarray(texture_rgb, np.float32)
+            return self._lib.create_terrain_model_textured(
+                hmap_m, tex, hmap_m.shape[0], hmap_m.shape[1],
+                float(ns_size_m), float(ew_size_m), 1.0)
         return self._lib.create_terrain_model(
             hmap_m, hmap_m.shape[0], hmap_m.shape[1],
             float(ns_size_m), float(ew_size_m), 1.0)
@@ -242,7 +269,8 @@ class NativeRenderer:
         hmap_m = hmap_ft[::step, ::step] * FT2MTR
         self.terrain = self.renderer.create_terrain_model(
             hmap_m, core_env.terrain.ns_max * FT2MTR,
-            core_env.terrain.ew_max * FT2MTR)
+            core_env.terrain.ew_max * FT2MTR,
+            texture_rgb=_load_terrain_texture(step, hmap_m.shape))
         self.renderer.add_permanent_object_to_window(self.terrain)
 
         self.heli_obj = self.renderer.create_model("procedural://heli")
