@@ -12,8 +12,6 @@ optional and outside the step path (SURVEY.md §7 item 7). Backends:
 """
 from __future__ import annotations
 
-import numpy as np
-
 from .topdown import NumpyTopDownRenderer
 
 try:
