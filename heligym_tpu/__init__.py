@@ -17,20 +17,25 @@ Public layers (SURVEY.md §7):
 """
 from gymnasium.envs.registration import register
 
-from .envs import (Heli, HeliEnv, HeliForwardFlight, HeliHover,
-                   HeliObliqueFlight, VectorHeliEnv)
+from .envs import (Heli, HeliEnv, HeliForwardFlight, HeliHover, HeliLanding,
+                   HeliObliqueFlight, HeliSlalom, HeliTurningFlight,
+                   VectorHeliEnv)
 from .models import load_params
 
 __version__ = "0.1.0"
 
-# Registration mirrors the reference (/root/reference/heligym/__init__.py:4-18)
-# and additionally registers the two tasks the reference README advertises but
-# never registers (HeliForwardFlight) or implements (HeliObliqueFlight).
+# Registration mirrors the reference (/root/reference/heligym/__init__.py:4-18),
+# adds the tasks its README advertises but never registers (ForwardFlight) or
+# implements (ObliqueFlight), and completes its TODO roadmap (turning flight,
+# slalom, ground/landing — reference README.md:110-112).
 for _id, _entry in [
     ("Heli-v0", "heligym_tpu.envs:Heli"),
     ("HeliHover-v0", "heligym_tpu.envs:HeliHover"),
     ("HeliForwardFlight-v0", "heligym_tpu.envs:HeliForwardFlight"),
     ("HeliObliqueFlight-v0", "heligym_tpu.envs:HeliObliqueFlight"),
+    ("HeliTurningFlight-v0", "heligym_tpu.envs:HeliTurningFlight"),
+    ("HeliSlalom-v0", "heligym_tpu.envs:HeliSlalom"),
+    ("HeliLanding-v0", "heligym_tpu.envs:HeliLanding"),
 ]:
     register(id=_id, entry_point=_entry, max_episode_steps=5000,
              reward_threshold=0.95, nondeterministic=False)

@@ -25,7 +25,8 @@ from gymnasium.utils import EzPickle
 
 from ..utils.constants import DT, FPS
 from .env import ACT_DIM, OBS_DIM, HeliEnv
-from .tasks import ForwardFlightTask, HoverTask, ObliqueFlightTask, Task
+from .tasks import (ForwardFlightTask, HoverTask, LandingTask,
+                    ObliqueFlightTask, SlalomTask, Task, TurningFlightTask)
 
 
 class Heli(gym.Env, EzPickle):
@@ -212,3 +213,18 @@ class HeliForwardFlight(Heli):
 class HeliObliqueFlight(Heli):
     """Oblique-flight task (README.md:54; completed here, see tasks.py)."""
     _task_cls = ObliqueFlightTask
+
+
+class HeliTurningFlight(Heli):
+    """Turning-flight task (reference roadmap item, implemented here)."""
+    _task_cls = TurningFlightTask
+
+
+class HeliSlalom(Heli):
+    """Slalom maneuver task (reference roadmap item, implemented here)."""
+    _task_cls = SlalomTask
+
+
+class HeliLanding(Heli):
+    """Landing / ground task (reference roadmap item, implemented here)."""
+    _task_cls = LandingTask

@@ -140,6 +140,147 @@ class ForwardFlightTask(Task):
 
 
 @dataclasses.dataclass(frozen=True)
+class TurningFlightTask(Task):
+    """Hold a coordinated turn: constant yaw rate at constant speed/altitude.
+
+    From the reference's unimplemented roadmap (README.md TODO: 'turning
+    flight task'), built in the house reward style: quadratic final terms with
+    derivative-based terminal shaping, max-combined per quantity.
+    """
+    sea_alt: float = 4000.0
+    vel: float = 60.0
+    yaw_rate: float = 0.15        # [rad/s]
+
+    def target_dict(self):
+        return {"sea_alt": self.sea_alt, "vel": self.vel,
+                "yaw_rate": self.yaw_rate}
+
+    def reward(self, norm, state, dots):
+        # roll/pitch rates should vanish; yaw rate should match the target
+        pn, qn = state.p * norm.t, state.q * norm.t
+        rn_err = (state.r - jnp.float32(self.yaw_rate)) * norm.t
+        t2 = norm.t ** 2
+        pdn, qdn, rdn = dots.p * t2, dots.q * t2, dots.r * t2
+        pqr_final = -((pn * pn + qn * qn) + rn_err * rn_err)
+        pqr_terminal = -((jnp.sign(pn) * pdn + jnp.sign(qn) * qdn)
+                         + jnp.sign(rn_err) * rdn)
+        pqr_reward = _shaped(pqr_final, pqr_terminal)
+
+        vel = jnp.sqrt((state.u * state.u + state.v * state.v)
+                       + state.w * state.w)
+        vel_norm = vel / norm.v
+        veldot_norm = (((state.u * dots.u + state.v * dots.v) + state.w * dots.w)
+                       / jnp.maximum(vel, 1e-3) / norm.a)
+        vel_target = self.vel / norm.v
+        vel_final = -((vel_norm - vel_target) * (vel_norm - vel_target))
+        vel_terminal = -(jnp.sign(vel_norm - vel_target) * veldot_norm)
+        vel_reward = _shaped(vel_final, vel_terminal)
+
+        dwn_norm = state.z / norm.x
+        dwn_target = -self.sea_alt / norm.x
+        dwn_final = -((dwn_norm - dwn_target) * (dwn_norm - dwn_target))
+        dwn_terminal = -(jnp.sign(dwn_norm - dwn_target) * (dots.z / norm.v))
+        dwn_reward = _shaped(dwn_final, dwn_terminal)
+
+        reward = (pqr_reward + vel_reward + dwn_reward) / 3.0
+        success = (pqr_final > -1.0) & (vel_final > -1.0) & (dwn_final > -1.0)
+        return reward, success
+
+
+@dataclasses.dataclass(frozen=True)
+class SlalomTask(Task):
+    """Weave along a sinusoidal lateral reference while flying north.
+
+    From the reference's unimplemented roadmap (README.md TODO: 'slalom
+    maneuver task'): track east-position y_ref(x) = amplitude *
+    sin(2 pi x / wavelength) at constant speed and altitude.
+    """
+    sea_alt: float = 4000.0
+    vel: float = 80.0
+    amplitude: float = 150.0      # [ft] lateral weave amplitude
+    wavelength: float = 2000.0    # [ft] weave period along north
+
+    def target_dict(self):
+        return {"sea_alt": self.sea_alt, "vel": self.vel,
+                "amplitude": self.amplitude, "wavelength": self.wavelength}
+
+    def reward(self, norm, state, dots):
+        two_pi_l = 2.0 * math.pi / self.wavelength
+        y_ref = jnp.float32(self.amplitude) * jnp.sin(two_pi_l * state.x)
+        ydot_ref = (jnp.float32(self.amplitude) * two_pi_l
+                    * jnp.cos(two_pi_l * state.x) * dots.x)
+        ey = (state.y - y_ref) / norm.x
+        eydot = (dots.y - ydot_ref) / norm.v
+        track_final = -(ey * ey)
+        track_terminal = -(jnp.sign(ey) * eydot)
+        track_reward = _shaped(track_final, track_terminal)
+
+        pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
+        pqr_reward = _shaped(pqr_final, pqr_terminal)
+
+        vel_norm = dots.x / norm.v          # northbound ground speed
+        vel_target = self.vel / norm.v
+        vel_final = -((vel_norm - vel_target) * (vel_norm - vel_target))
+        vel_terminal = -(jnp.sign(vel_norm - vel_target) * (dots.u / norm.a))
+        vel_reward = _shaped(vel_final, vel_terminal)
+
+        dwn_norm = state.z / norm.x
+        dwn_target = -self.sea_alt / norm.x
+        dwn_final = -((dwn_norm - dwn_target) * (dwn_norm - dwn_target))
+        dwn_terminal = -(jnp.sign(dwn_norm - dwn_target) * (dots.z / norm.v))
+        dwn_reward = _shaped(dwn_final, dwn_terminal)
+
+        reward = (pqr_reward + track_reward + vel_reward + dwn_reward) / 4.0
+        success = ((pqr_final > -1.0) & (track_final > -1.0)
+                   & (vel_final > -1.0) & (dwn_final > -1.0))
+        return reward, success
+
+
+@dataclasses.dataclass(frozen=True)
+class LandingTask(Task):
+    """Descend to a gentle touchdown at a target pad.
+
+    From the reference's unimplemented roadmap (README.md TODO: 'ground
+    task'): minimize ground altitude over the pad with bounded descent rate
+    and level attitude; success while settled on the ground (the env's crash
+    detection still fails hard/attitude-violating contacts).
+    """
+    pad_north: float = 0.0
+    pad_east: float = 0.0
+    max_touch_rate: float = 3.0   # [ft/s] gentle-touchdown descent limit
+
+    def target_dict(self):
+        return {"pad_north": self.pad_north, "pad_east": self.pad_east,
+                "max_touch_rate": self.max_touch_rate}
+
+    def reward(self, norm, state, dots):
+        pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
+        pqr_reward = _shaped(pqr_final, pqr_terminal)
+
+        en = (state.x - jnp.float32(self.pad_north)) / norm.x
+        ee = (state.y - jnp.float32(self.pad_east)) / norm.x
+        pad_final = -(en * en + ee * ee)
+        pad_terminal = -((jnp.sign(en) * dots.x + jnp.sign(ee) * dots.y)
+                         / norm.v)
+        pad_reward = _shaped(pad_final, pad_terminal)
+
+        # reward descending toward the ground but punish fast descent near it;
+        # state.z is NED down so dots.z > 0 descends
+        sink = dots.z / norm.v
+        desired_sink = jnp.float32(self.max_touch_rate) / norm.v
+        sink_err = sink - desired_sink
+        sink_reward = -(sink_err * sink_err)
+
+        reward = (pqr_reward + pad_reward + sink_reward) / 3.0
+        # settled: essentially motionless and level (on the ground, the gear
+        # spring holds sink near zero)
+        speed2 = (state.u * state.u + state.v * state.v) + state.w * state.w
+        success = ((speed2 < 4.0) & (jnp.abs(state.phi) < 0.15)
+                   & (jnp.abs(state.theta) < 0.15) & (pad_final > -1.0))
+        return reward, success
+
+
+@dataclasses.dataclass(frozen=True)
 class ObliqueFlightTask(Task):
     """Fly at a course offset from the nose heading while holding altitude.
 

@@ -12,11 +12,13 @@ import time
 import jax
 
 from ..envs import HeliEnv
-from ..envs.tasks import ForwardFlightTask, HoverTask, ObliqueFlightTask
+from ..envs.tasks import (ForwardFlightTask, HoverTask, LandingTask,
+                          ObliqueFlightTask, SlalomTask, TurningFlightTask)
 from .ppo import PPOConfig, PPOLearner
 
 TASKS = {"hover": HoverTask, "forward": ForwardFlightTask,
-         "oblique": ObliqueFlightTask}
+         "oblique": ObliqueFlightTask, "turning": TurningFlightTask,
+         "slalom": SlalomTask, "landing": LandingTask}
 
 
 def main(argv=None):
