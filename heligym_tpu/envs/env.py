@@ -60,6 +60,10 @@ class EnvState:
     successed_steps: jnp.ndarray  # i32 () accumulated success steps
     key: jax.Array           # per-env PRNG key
     init: ResetSnapshot      # auto-reset target
+    # per-env task selector for MixedTask batches (BASELINE config #3);
+    # ignored by single-task envs, persists across auto-resets
+    task_id: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 @struct.dataclass
@@ -223,13 +227,14 @@ class HeliEnv:
         return new, wind_ned
 
     def step_physics(self, heli: HeliState, wind: WindState, wind_action4,
-                     eta3, action4, h_ground):
+                     eta3, action4, h_ground, task_id=None):
         """Wind + helicopter + reward, no RNG/terrain/termination: the exact
         code the fused Pallas kernel runs on lane-batched rows."""
         wind_new, wind_ned = self.wind_step(wind, wind_action4, eta3)
         heli_new, dots, obs = self.heli_step_with_h(heli, action4, wind_ned,
                                                     h_ground)
-        reward, success_step = self.task.reward(self.normalizers, heli_new, dots)
+        reward, success_step = self.task.reward(self.normalizers, heli_new,
+                                                dots, task_id=task_id)
         return wind_new, wind_ned, heli_new, dots, obs, reward, success_step
 
     # -- the env step ------------------------------------------------------
@@ -251,7 +256,7 @@ class HeliEnv:
         h_ground = terrain_ops.ground_height(self.terrain, es.heli.x, es.heli.y)
         wind_new, wind_ned, heli_new, dots, obs_t, reward, success_step = (
             self.step_physics(es.heli, es.wind, wind_action, eta3, action4,
-                              h_ground))
+                              h_ground, task_id=es.task_id))
         obs = jnp.stack(obs_t, axis=-1)
         steps = es.steps + 1
 
@@ -271,7 +276,8 @@ class HeliEnv:
 
         new_es = EnvState(heli=heli_new, wind=wind_new, dots=dots, obs=obs,
                           wind_ned=jnp.stack(wind_ned, axis=-1), steps=steps,
-                          successed_steps=successed_steps, key=key, init=es.init)
+                          successed_steps=successed_steps, key=key, init=es.init,
+                          task_id=es.task_id)
         out = StepOutput(obs=obs, reward=reward, done=done, truncated=time_up,
                          failed=failed, successed=successed, time_up=time_up)
         return new_es, out

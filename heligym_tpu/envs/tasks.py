@@ -47,7 +47,11 @@ def _shaped(final_reward, terminal_reward):
 
 @dataclasses.dataclass(frozen=True)
 class Task:
-    """Base task: zero reward, never succeeds (helicopter.py:242-243)."""
+    """Base task: zero reward, never succeeds (helicopter.py:242-243).
+
+    `reward(norm, state, dots, task_id=None)` — `task_id` is a per-env i32
+    used only by `MixedTask` for task-conditioned batches; plain tasks ignore
+    it (the env always threads it through)."""
 
     def target_dict(self) -> Dict[str, float]:
         return {}
@@ -55,7 +59,8 @@ class Task:
     def with_target(self, **updates) -> "Task":
         return dataclasses.replace(self, **updates)
 
-    def reward(self, norm: Normalizers, state: HeliState, dots: HeliState):
+    def reward(self, norm: Normalizers, state: HeliState, dots: HeliState,
+               task_id=None):
         return jnp.zeros_like(state.vi_mr), jnp.zeros_like(state.vi_mr, dtype=bool)
 
 
@@ -79,7 +84,7 @@ class HoverTask(Task):
         return {"sea_alt": self.sea_alt, "north_loc": self.north_loc,
                 "east_loc": self.east_loc}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
         pqr_reward = _shaped(pqr_final, pqr_terminal)
 
@@ -113,7 +118,7 @@ class ForwardFlightTask(Task):
     def target_dict(self):
         return {"sea_alt": self.sea_alt, "heading": self.heading, "vel": self.vel}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         vel = jnp.sqrt((state.u * state.u + state.v * state.v)
                        + state.w * state.w)
         vel_norm = vel / norm.v
@@ -155,7 +160,7 @@ class TurningFlightTask(Task):
         return {"sea_alt": self.sea_alt, "vel": self.vel,
                 "yaw_rate": self.yaw_rate}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         # roll/pitch rates should vanish; yaw rate should match the target
         pn, qn = state.p * norm.t, state.q * norm.t
         rn_err = (state.r - jnp.float32(self.yaw_rate)) * norm.t
@@ -204,7 +209,7 @@ class SlalomTask(Task):
         return {"sea_alt": self.sea_alt, "vel": self.vel,
                 "amplitude": self.amplitude, "wavelength": self.wavelength}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         two_pi_l = 2.0 * math.pi / self.wavelength
         y_ref = jnp.float32(self.amplitude) * jnp.sin(two_pi_l * state.x)
         ydot_ref = (jnp.float32(self.amplitude) * two_pi_l
@@ -253,7 +258,7 @@ class LandingTask(Task):
         return {"pad_north": self.pad_north, "pad_east": self.pad_east,
                 "max_touch_rate": self.max_touch_rate}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
         pqr_reward = _shaped(pqr_final, pqr_terminal)
 
@@ -298,7 +303,7 @@ class ObliqueFlightTask(Task):
         return {"sea_alt": self.sea_alt, "heading": self.heading,
                 "vel": self.vel, "azimuth": self.azimuth}
 
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         course = self.heading + self.azimuth
         tv_n = jnp.float32(self.vel * math.cos(course)) / norm.v
         tv_e = jnp.float32(self.vel * math.sin(course)) / norm.v
@@ -328,4 +333,30 @@ class ObliqueFlightTask(Task):
 
         reward = (pqr_reward + vel_reward + dwn_reward) / 3.0
         success = (pqr_final > -1.0) & (vel_final > -1.0) & (dwn_final > -1.0)
+        return reward, success
+
+
+@dataclasses.dataclass(frozen=True)
+class MixedTask(Task):
+    """Task-conditioned multi-task batches (BASELINE.json config #3): each env
+    carries an i32 `task_id` in its EnvState selecting one of `tasks`. All
+    sub-rewards are computed branchlessly and selected per lane — cheap for
+    the handful of tasks involved, fully compatible with the fused Pallas
+    step (no control flow)."""
+    tasks: tuple = ()
+
+    def target_dict(self):
+        return {f"task{i}": t.target_dict() for i, t in enumerate(self.tasks)}
+
+    def reward(self, norm, state, dots, task_id=None):
+        assert self.tasks, "MixedTask needs at least one sub-task"
+        if task_id is None:
+            return self.tasks[0].reward(norm, state, dots)
+        reward = jnp.zeros_like(state.vi_mr)
+        success = jnp.zeros_like(state.vi_mr, dtype=bool)
+        for i, t in enumerate(self.tasks):
+            r_i, s_i = t.reward(norm, state, dots)
+            sel = task_id == i
+            reward = jnp.where(sel, r_i, reward)
+            success = jnp.where(sel, s_i, success)
         return reward, success

@@ -95,6 +95,13 @@ class VectorHeliEnv:
         es = _broadcast_and_fold(es_single, key, self.num_envs)
         return es, es.obs
 
+    def assign_tasks(self, es: EnvState, task_ids) -> EnvState:
+        """Per-env task assignment for MixedTask batches (task-conditioned
+        reward, BASELINE config #3). `task_ids`: (num_envs,) int indices into
+        the MixedTask's sub-task tuple. Assignments persist across
+        auto-resets."""
+        return es.replace(task_id=jnp.asarray(task_ids, jnp.int32))
+
     def reset_randomized(self, key, cond_sampler) -> Tuple[EnvState, jnp.ndarray]:
         """Per-env randomized initial conditions via the on-device batched
         Newton trim (SURVEY.md §7 hard part 5): `cond_sampler(key, n) ->

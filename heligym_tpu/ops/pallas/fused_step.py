@@ -41,7 +41,7 @@ def _nonfin(x):
 
 
 def _kernel(env: HeliEnv,
-            heli_ref, wind_ref, obs_ref, h_ref, eta_ref, act_ref,
+            heli_ref, wind_ref, obs_ref, h_ref, eta_ref, act_ref, tid_ref,
             o_heli, o_wind, o_obs, o_rew, o_succ, o_dotz):
     heli = HeliState.from_rows(heli_ref[:])
     wind = WindState.from_rows(wind_ref[:])
@@ -50,7 +50,8 @@ def _kernel(env: HeliEnv,
     action4 = (act_ref[0], act_ref[1], act_ref[2], act_ref[3])
 
     wind_new, _, heli_new, dots, obs_t, reward, success = env.step_physics(
-        heli, wind, wind_action, eta3, action4, h_ref[0])
+        heli, wind, wind_action, eta3, action4, h_ref[0],
+        task_id=tid_ref[0])
 
     o_heli[:] = heli_new.rows()
     o_wind[:] = wind_new.rows()
@@ -89,7 +90,8 @@ def build_fused_core(env: HeliEnv, num_envs: int, block_envs: Optional[int] = No
     return pl.pallas_call(
         functools.partial(_kernel, env),
         grid=grid,
-        in_specs=[spec(18), spec(5), spec(17), spec(1), spec(3), spec(4)],
+        in_specs=[spec(18), spec(5), spec(17), spec(1), spec(3), spec(4),
+                  spec(1)],
         out_specs=(spec(18), spec(5), spec(17), spec(1), spec(1), spec(1)),
         out_shape=out_shapes,
         interpret=interpret,
@@ -116,6 +118,7 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret):
                                            es.init.heli.y),
         }
         h0 = terrain_ops.ground_height(terrain, es.heli.x, es.heli.y)
+        init["task_id"] = jnp.broadcast_to(es.task_id, es.steps.shape)[None]
         carry = (es.heli.rows(), es.wind.rows(), es.obs.T, h0,
                  es.steps, es.successed_steps, es.key)
         return carry, init
@@ -138,7 +141,8 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret):
         keys, eta = jax.vmap(draw)(keys)
 
         heli_p, wind_p, obs_p, rew, succ_step, dotz = fused(
-            heli_p, wind_p, obs_p, h[None], eta.T, act_rows)
+            heli_p, wind_p, obs_p, h[None], eta.T, act_rows,
+            init["task_id"])
         rew, succ_step, dotz = rew[0], succ_step[0], dotz[0]
 
         hx, hy, hz = heli_p[15], heli_p[16], heli_p[17]
