@@ -168,6 +168,18 @@ class HeliEnv:
     def replace(self, **kw) -> "HeliEnv":
         return dataclasses.replace(self, **kw)
 
+    def to_backend(self, backend: str) -> "HeliEnv":
+        """Copy of this env with its device-resident data (terrain arrays)
+        committed to `backend`, so jitted steps compile there. Used by the
+        single-env gym wrapper to run on the host CPU, where one env's
+        microseconds of math beat any accelerator round trip."""
+        dev = jax.local_devices(backend=backend)[0]
+        terr = dataclasses.replace(
+            self.terrain,
+            hmap=jax.device_put(self.terrain.hmap, dev),
+            normal=jax.device_put(self.terrain.normal, dev))
+        return self.replace(terrain=terr)
+
     # -- derived static quantities ---------------------------------------
     @property
     def normalizers(self) -> Normalizers:

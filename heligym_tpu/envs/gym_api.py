@@ -48,11 +48,26 @@ class Heli(gym.Env, EzPickle):
 
     _task_cls = Task
 
-    def __init__(self, heli_name: str = "aw109", render_mode: Optional[str] = None):
+    def __init__(self, heli_name: str = "aw109", render_mode: Optional[str] = None,
+                 device: Optional[str] = "cpu"):
+        """`device`: backend for this single-env instance ("cpu" default).
+        One env's step is microseconds of math; on accelerator backends the
+        per-step host<->device round trip dominates by orders of magnitude
+        (hundreds of ms through remote TPU tunnels), so the interactive
+        wrapper runs on the host CPU. Use VectorHeliEnv / the fused rollout
+        for accelerator-scale batches. Pass device=None to follow JAX's
+        default backend."""
         EzPickle.__init__(self, heli_name=heli_name, render_mode=render_mode)
         self.heli_name = heli_name
         self.render_mode = render_mode
+        try:
+            self._device = (jax.local_devices(backend=device)[0]
+                            if device else None)
+        except RuntimeError:
+            self._device = None
         self._core = HeliEnv.build(heli_name, task=self._task_cls())
+        if self._device is not None and device is not None:
+            self._core = self._core.to_backend(device)
 
         self.observation_space = spaces.Box(-np.inf, np.inf, shape=(OBS_DIM,),
                                             dtype=np.float32)
@@ -122,11 +137,21 @@ class Heli(gym.Env, EzPickle):
         if cond_key not in self._trim_cache:
             self._trim_cache[cond_key] = self._core.trim_result(self.trim_cond)
         es, obs = self._core.reset_from_trim(self._trim_cache[cond_key], key)
+        if self._device is not None:
+            es = jax.device_put(es, self._device)
         self._state = es
-        return np.asarray(obs), self._get_info_host(es)
+        return np.asarray(es.obs), self._get_info_host(es)
 
     def step(self, actions):
-        actions = jnp.asarray(actions, dtype=jnp.float32)
+        actions = np.asarray(actions, np.float32)
+        if actions.shape != (ACT_DIM,):
+            # JAX clamps out-of-bounds indexing, so a short action vector
+            # would silently reuse its last channel — reject it loudly.
+            raise ValueError(
+                f"action must have shape ({ACT_DIM},), got {actions.shape}")
+        # straight host->target-device transfer: `jnp.asarray` first would
+        # materialize on the default backend (a remote TPU costs ~50 ms/hop)
+        actions = jax.device_put(actions, self._device)
         self._state, out = self._step_jit(self._state, actions)
         info = {"failed": bool(out.failed), "successed": bool(out.successed),
                 "time_up": bool(out.time_up)}
