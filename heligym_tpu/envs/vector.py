@@ -39,7 +39,7 @@ def _assemble_batched(tr, wind_mean, key, n: int) -> EnvState:
     return EnvState(heli=tr.state, wind=wind0, dots=tr.dots, obs=tr.obs,
                     wind_ned=wm, steps=jnp.zeros((n,), jnp.int32),
                     successed_steps=jnp.zeros((n,), jnp.int32), key=keys,
-                    init=snap)
+                    init=snap, task_id=jnp.zeros((n,), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=2)

@@ -13,7 +13,7 @@ from heligym_tpu.envs.tasks import Task
 
 @dataclasses.dataclass(frozen=True)
 class AlwaysSucceedTask(Task):
-    def reward(self, norm, state, dots):
+    def reward(self, norm, state, dots, task_id=None):
         one = jnp.ones_like(state.vi_mr)
         return one, one > 0.0   # success every step
 
