@@ -10,7 +10,6 @@ SURVEY.md §2.4).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..envs.env import EnvState, HeliEnv
 from ..envs.vector import VectorHeliEnv, auto_reset

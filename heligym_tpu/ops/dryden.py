@@ -13,7 +13,6 @@ Differences by design (SURVEY.md §5 RNG):
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax.numpy as jnp
 import numpy as np

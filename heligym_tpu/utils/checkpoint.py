@@ -6,7 +6,7 @@ Covers env-farm state, learner train state, or any composite pytree of both.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
