@@ -107,23 +107,55 @@ class PPOLearner:
         return jnp.clip(mean + jnp.exp(log_std) * noise, -1.0, 1.0)
 
     # ------------------------------------------------------------ rollout
-    def _collect_fused(self, params, es: EnvState, key):
-        """Rollout through the fused Pallas step kernel: policy matmuls in
-        XLA (MXU), physics in one Mosaic kernel per step."""
-        from ..ops.pallas import build_fused_policy_rollout
-
+    def _policy_fn(self, fold_axis: Optional[str] = None):
         def policy_fn(p, obs, key_t):
+            if fold_axis is not None:
+                # decorrelate action noise across mesh shards
+                key_t = jax.random.fold_in(key_t, jax.lax.axis_index(fold_axis))
             mean, log_std, value = self.network.apply(p, self._norm(obs))
             noise = jax.random.normal(key_t, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
             return (jnp.clip(action, -1.0, 1.0),
                     {"raw_action": action, "log_prob": log_prob, "value": value})
+        return policy_fn
 
+    def _build_fused_rollout(self):
+        """Single-device: plain fused rollout. Multi-device: the fused rollout
+        per shard wrapped in shard_map over the env axis (GSPMD cannot
+        partition a pallas_call; shard_map runs one kernel per device)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.pallas import build_fused_policy_rollout
+        from ..parallel.mesh import ENV_AXIS
+
+        cfg = self.config
+        n_dev = self.mesh.devices.size
+        if n_dev == 1:
+            return build_fused_policy_rollout(
+                self.env, cfg.num_envs, cfg.rollout_steps, self._policy_fn())
+
+        local = cfg.num_envs // n_dev
+        inner = build_fused_policy_rollout(
+            self.env, local, cfg.rollout_steps, self._policy_fn(ENV_AXIS))
+        sh = P(ENV_AXIS)
+        traj_specs = {"obs": P(None, ENV_AXIS, None),
+                      "action": P(None, ENV_AXIS, None),
+                      "raw_action": P(None, ENV_AXIS, None),
+                      "log_prob": P(None, ENV_AXIS),
+                      "value": P(None, ENV_AXIS),
+                      "reward": P(None, ENV_AXIS),
+                      "done": P(None, ENV_AXIS)}
+        return jax.shard_map(inner, mesh=self.mesh,
+                             in_specs=(sh, P(), P()),
+                             out_specs=(sh, traj_specs), check_vma=False)
+
+    def _collect_fused(self, params, es: EnvState, key):
+        """Rollout through the fused Pallas step kernel: policy matmuls in
+        XLA (MXU), physics in one Mosaic kernel per step (per device shard
+        on multi-device meshes)."""
         if self._fused_rollout is None:
-            self._fused_rollout = build_fused_policy_rollout(
-                self.env, self.config.num_envs, self.config.rollout_steps,
-                policy_fn)
+            self._fused_rollout = self._build_fused_rollout()
         es, traj = self._fused_rollout(es, params, key)
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
@@ -235,13 +267,9 @@ class PPOLearner:
         sh_env = env_sharding(self.mesh)
         rep = replicated_sharding(self.mesh)
 
-        # The fused Pallas collector runs when the env batch lives on one
-        # device; under a multi-device mesh GSPMD cannot partition a
-        # pallas_call automatically, so the (partitionable) XLA path is used.
-        # (A shard_map-wrapped fused path is the planned follow-up.)
-        collect = (self._collect_fused
-                   if cfg.use_fused_rollout and self.mesh.devices.size == 1
-                   else self._collect)
+        fused_ok = (cfg.use_fused_rollout
+                    and cfg.num_envs % (128 * self.mesh.devices.size) == 0)
+        collect = self._collect_fused if fused_ok else self._collect
 
         def _step(ts: TrainState):
             key, k_roll, k_upd = jax.random.split(ts.key, 3)

@@ -58,6 +58,22 @@ def test_fused_collector_single_device(hover_env):
         assert np.isfinite(float(v)), f"{k} not finite"
 
 
+def test_fused_collector_multi_device(hover_env):
+    """shard_map-wrapped fused collector: one Pallas kernel per device shard."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 simulated devices")
+    mesh = make_env_mesh(devs)
+    cfg = PPOConfig(num_envs=1024, rollout_steps=4, minibatches=2, epochs=1,
+                    hidden=(16, 16), use_fused_rollout=True)
+    learner = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(5))
+    step = learner.train_step_fn()
+    ts, metrics = step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
 def test_checkpoint_resume(tmp_path, learner):
     ts = learner.init(jax.random.PRNGKey(4))
     step = learner.train_step_fn()
