@@ -97,10 +97,11 @@ void Window::draw_model(Model* mdl) {
 
 void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
                            const Vec3* vcol, bool shaded) {
-  // NDC -> screen
-  float sx[3], sy[3], sz[3];
+  // NDC -> screen; keep 1/w for perspective-correct attribute interpolation
+  float sx[3], sy[3], sz[3], iw[3];
   for (int k = 0; k < 3; ++k) {
     float inv_w = 1.0f / clip[k].w;
+    iw[k] = inv_w;
     sx[k] = (clip[k].x * inv_w * 0.5f + 0.5f) * width;
     sy[k] = (1.0f - (clip[k].y * inv_w * 0.5f + 0.5f)) * height;
     sz[k] = clip[k].z * inv_w;
@@ -130,17 +131,22 @@ void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
       if (z >= zbuffer[zi]) continue;
       zbuffer[zi] = z;
 
+      // perspective-correct barycentrics: weight by 1/w and renormalize
+      float q0 = w0 * iw[0], q1 = w1 * iw[1], q2 = w2 * iw[2];
+      float qs = q0 + q1 + q2;
+      if (qs > 1e-20f) { q0 /= qs; q1 /= qs; q2 /= qs; }
+
       Vec3 out;
-      Vec3 color = vcol[0] * w0 + vcol[1] * w1 + vcol[2] * w2;
+      Vec3 color = vcol[0] * q0 + vcol[1] * q1 + vcol[2] * q2;
       if (shaded) {
-        Vec3 n = normalize(wn[0] * w0 + wn[1] * w1 + wn[2] * w2);
+        Vec3 n = normalize(wn[0] * q0 + wn[1] * q1 + wn[2] * q2);
         float diff = std::max(0.0f, dot(n, ldir));
         float lit = ambient + (1.0f - ambient) * diff;
         out = {color.x * light_color.x * lit,
                color.y * light_color.y * lit,
                color.z * light_color.z * lit};
         // exponential fog on view distance (terrain_frag.fs:38-62)
-        Vec3 p = wp[0] * w0 + wp[1] * w1 + wp[2] * w2;
+        Vec3 p = wp[0] * q0 + wp[1] * q1 + wp[2] * q2;
         float dist = length(p - cam);
         float f = std::exp(-dist * fog_density);
         out = fog_color * (1.0f - f) + out * f;
