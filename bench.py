@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--chunks", type=int, default=5)
     ap.add_argument("--flat-terrain", action="store_true")
     ap.add_argument("--unfused", action="store_true")
+    ap.add_argument("--block-envs", type=int, default=None)
+    ap.add_argument("--unroll", type=int, default=4)
     args = ap.parse_args()
 
     from heligym_tpu.envs import HeliEnv
@@ -52,7 +54,8 @@ def main():
         def run(es):
             return roll(es, actions)
     else:
-        fused = build_fused_rollout(env, num_envs, args.chunk_steps, collect=())
+        fused = build_fused_rollout(env, num_envs, args.chunk_steps, collect=(),
+                                    block_envs=args.block_envs, unroll=args.unroll)
         roll = jax.jit(lambda es, a: fused(es, a)[0], donate_argnums=0)
 
         def run(es):

@@ -60,7 +60,13 @@ class Transition:
     log_prob: jnp.ndarray
     value: jnp.ndarray
     reward: jnp.ndarray
-    done: jnp.ndarray
+    # Termination (failed/successed) and time-limit truncation are kept
+    # separate: GAE bootstraps V(final_obs) through truncation-only resets
+    # (the reference's 40 s wall would otherwise bias ~1/31 of transitions
+    # toward unbootstrapped returns at rollout_steps=64).
+    terminated: jnp.ndarray
+    truncated: jnp.ndarray
+    v_boot: jnp.ndarray      # V(pre-reset next obs), current params
 
 
 class PPOLearner:
@@ -145,7 +151,9 @@ class PPOLearner:
                       "log_prob": P(None, ENV_AXIS),
                       "value": P(None, ENV_AXIS),
                       "reward": P(None, ENV_AXIS),
-                      "done": P(None, ENV_AXIS)}
+                      "terminated": P(None, ENV_AXIS),
+                      "truncated": P(None, ENV_AXIS),
+                      "final_obs": P(None, ENV_AXIS, None)}
         return jax.shard_map(inner, mesh=self.mesh,
                              in_specs=(sh, P(), P()),
                              out_specs=(sh, traj_specs), check_vma=False)
@@ -160,11 +168,19 @@ class PPOLearner:
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
                           -100.0, 100.0)
+        v_boot = self._value_of(params, traj["final_obs"])
         out = Transition(obs=traj["obs"], action=traj["raw_action"],
                          log_prob=traj["log_prob"], value=traj["value"],
-                         reward=reward, done=traj["done"])
-        _, _, last_value = self.network.apply(params, self._norm(es.obs))
-        return es, key, out, last_value
+                         reward=reward,
+                         terminated=traj["terminated"].astype(jnp.float32),
+                         truncated=traj["truncated"].astype(jnp.float32),
+                         v_boot=v_boot)
+        return es, key, out
+
+    def _value_of(self, params, obs):
+        """Value head over arbitrary leading dims (one batched apply)."""
+        _, _, value = self.network.apply(params, self._norm(obs))
+        return value
 
     def _collect(self, params, es: EnvState, key):
         def scan_step(carry, _):
@@ -176,6 +192,7 @@ class PPOLearner:
             log_prob = gaussian_log_prob(mean, log_std, action)
             clipped = jnp.clip(action, -1.0, 1.0)
             new_es, out = jax.vmap(self.env.step)(es, clipped)
+            final_obs = out.obs              # pre-reset terminal/next obs
             new_es, out = auto_reset(new_es, out)
             # The terminating step of a blown-up env can carry a non-finite
             # reward before the env's NaN guard resets it; sanitize so one env
@@ -185,27 +202,33 @@ class PPOLearner:
                               -100.0, 100.0)
             tr = Transition(obs=es.obs, action=action, log_prob=log_prob,
                             value=value, reward=reward,
-                            done=(out.done | out.truncated))
-            return (new_es, key), tr
+                            terminated=out.done.astype(jnp.float32),
+                            truncated=out.truncated.astype(jnp.float32),
+                            v_boot=jnp.zeros_like(value))
+            return (new_es, key), (tr, final_obs)
 
-        (es, key), traj = jax.lax.scan(
+        (es, key), (traj, final_obs) = jax.lax.scan(
             scan_step, (es, key), None, length=self.config.rollout_steps)
-        _, _, last_value = self.network.apply(params, self._norm(es.obs))
-        return es, key, traj, last_value
+        # One batched value apply over every step's pre-reset next obs: equals
+        # V(s_{t+1}) on ordinary steps and the truncation bootstrap otherwise.
+        traj = traj.replace(v_boot=self._value_of(params, final_obs))
+        return es, key, traj
 
-    def _gae(self, traj: Transition, last_value):
+    def _gae(self, traj: Transition):
+        """GAE with correct truncation handling: termination zeroes the
+        bootstrap; truncation bootstraps V(final_obs) but still cuts the
+        advantage accumulation across the reset boundary."""
         cfg = self.config
 
-        def scan_back(carry, tr):
-            gae, next_value = carry
-            not_done = 1.0 - tr.done.astype(jnp.float32)
-            delta = tr.reward + cfg.gamma * next_value * not_done - tr.value
-            gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
-            return (gae, tr.value), gae
+        def scan_back(gae, tr):
+            not_term = 1.0 - tr.terminated
+            not_reset = not_term * (1.0 - tr.truncated)
+            delta = tr.reward + cfg.gamma * tr.v_boot * not_term - tr.value
+            gae = delta + cfg.gamma * cfg.gae_lambda * not_reset * gae
+            return gae, gae
 
-        (_, _), advantages = jax.lax.scan(
-            scan_back, (jnp.zeros_like(last_value), last_value), traj,
-            reverse=True)
+        _, advantages = jax.lax.scan(
+            scan_back, jnp.zeros_like(traj.value[-1]), traj, reverse=True)
         returns = advantages + traj.value
         return advantages, returns
 
@@ -273,8 +296,8 @@ class PPOLearner:
 
         def _step(ts: TrainState):
             key, k_roll, k_upd = jax.random.split(ts.key, 3)
-            es, _, traj, last_value = collect(ts.params, ts.env_state, k_roll)
-            advantages, returns = self._gae(traj, last_value)
+            es, _, traj = collect(ts.params, ts.env_state, k_roll)
+            advantages, returns = self._gae(traj)
             # (T, B, ...) -> (T*B, ...)
             flat = jax.tree_util.tree_map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), traj)
@@ -286,7 +309,8 @@ class PPOLearner:
             params, opt_state = carry[0], carry[1]
             metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
             metrics["reward_mean"] = traj.reward.mean()
-            metrics["done_frac"] = traj.done.mean()
+            metrics["done_frac"] = jnp.maximum(traj.terminated,
+                                               traj.truncated).mean()
             new_ts = TrainState(params=params, opt_state=opt_state,
                                 env_state=es, key=key,
                                 update_count=ts.update_count + 1)

@@ -91,7 +91,8 @@ def build_sharded_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
     its local env shard; there is no cross-device communication in the step
     (the physics is elementwise over envs), so scaling is linear by
     construction. Per-env RNG keys live in the sharded state, so trajectories
-    are identical to the single-device fused path.
+    match the single-device fused path (exactly in math; up to compiler FMA
+    contraction in float — see test_sharding.py).
 
     Returns a jittable f(es, actions) -> (es', outputs) like
     `build_fused_rollout`."""
@@ -115,7 +116,12 @@ def build_sharded_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
         out_specs[1]["obs"] = P(None, ENV_AXIS, None)
 
     def sharded(es: EnvState, actions):
-        return jax.shard_map(inner, mesh=mesh, in_specs=(shard, shard),
+        # The env axis of `actions` differs by form: (num_envs, 4) constant
+        # actions shard on axis 0, (steps, num_envs, 4) sequences on axis 1.
+        # A single P('env') spec would shard a 3-D sequence's TIME axis and
+        # silently mis-read trajectories inside the shard.
+        act_spec = P(ENV_AXIS) if actions.ndim == 2 else P(None, ENV_AXIS)
+        return jax.shard_map(inner, mesh=mesh, in_specs=(shard, act_spec),
                              out_specs=out_specs, check_vma=False)(es, actions)
 
     return jax.jit(sharded)

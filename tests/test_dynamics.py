@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heligym_tpu.models import load_params
 from heligym_tpu.ops import terrain as T
 from heligym_tpu.ops.eom import heli_dynamics
 from heligym_tpu.ops.state import HeliState
+
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
 
 
 def test_dynamics_matches_reference(fixtures):

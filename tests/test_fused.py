@@ -5,27 +5,42 @@ via Mosaic on real TPUs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heligym_tpu.envs import VectorHeliEnv
 from heligym_tpu.ops.pallas import build_fused_rollout
 
 
+@pytest.mark.quick
 def test_fused_matches_unfused(hover_env, hover_trim):
+    """Identical injected Dryden noise through both paths (the production
+    fused path pre-draws its noise per rollout, so live streams differ by
+    design; physics parity is pinned via the eta seam)."""
     B, STEPS = 128, 30
     venv = VectorHeliEnv(hover_env, B, auto_reset=True)
     es, _ = venv.reset_from_trim(hover_trim, jax.random.PRNGKey(0))
     acts = jnp.tile(jnp.asarray(hover_trim.action), (B, 1))
+    eta_seq = (jax.random.normal(jax.random.PRNGKey(7), (STEPS, 3, B))
+               * (1.0 / hover_env.dt) ** 0.5)
+
+    from heligym_tpu.envs.vector import auto_reset as do_reset
+
+    @jax.jit
+    def unfused_step(es, eta):
+        new_es, out = jax.vmap(hover_env.step_with_eta)(es, acts, eta.T)
+        return do_reset(new_es, out)
 
     es_u = es
     rews = []
-    for _ in range(STEPS):
-        es_u, out = venv.step(es_u, acts)
+    for t in range(STEPS):
+        es_u, out = unfused_step(es_u, eta_seq[t])
         rews.append(np.asarray(out.reward))
     rews = np.stack(rews)
 
     roll = jax.jit(build_fused_rollout(hover_env, B, STEPS,
-                                       collect=("reward", "done", "obs")))
-    es_f, outs = roll(es, acts)
+                                       collect=("reward", "done", "obs"),
+                                       eta_mode="inject"))
+    es_f, outs = roll(es, acts, eta_seq)
 
     np.testing.assert_allclose(np.asarray(outs["reward"]), rews, atol=2e-5)
     np.testing.assert_allclose(np.asarray(es_f.heli.flatten()),

@@ -2,9 +2,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heligym_tpu.ops.dryden import _TEP_DATA
 from heligym_tpu.ops.lookup import Table, table_lookup_1d, table_lookup_2d
+
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
 
 
 def test_tep_table_data(fixtures):

@@ -4,6 +4,8 @@ import pytest
 
 from heligym_tpu.models import load_params
 
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
+
 
 @pytest.fixture(scope="module")
 def p():

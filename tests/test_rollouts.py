@@ -59,6 +59,7 @@ def hover():
     return HeliEnv.build("aw109", task=HoverTask())
 
 
+@pytest.mark.quick
 def test_hover_quiet_trajectory(fixtures, hover):
     """Trim-held hover, zero turbulence noise: the purely deterministic path."""
     f = fixtures("rollouts")

@@ -67,8 +67,12 @@ def test_farm_divisibility_check(hover_env, devices):
 def test_sharded_fused_rollout_matches_single_device(hover_env, hover_trim,
                                                      devices):
     """The shard_map-wrapped fused Pallas rollout must reproduce the
-    single-device fused rollout bit-for-bit (per-env keys live in the sharded
-    state; the step is communication-free)."""
+    single-device fused rollout: per-env keys live in the sharded state and
+    the step is communication-free, so the math per env is identical by
+    construction. The comparison is tight-tolerance rather than bitwise: the
+    compiler contracts mul+add chains into FMAs differently at different
+    shard widths, which seeds ULP-level differences that chaos amplifies
+    (discrete outcomes — flags, counters — must still agree exactly)."""
     import jax.numpy as jnp
     from heligym_tpu.envs import VectorHeliEnv
     from heligym_tpu.ops.pallas import build_fused_rollout
@@ -86,7 +90,11 @@ def test_sharded_fused_rollout_matches_single_device(hover_env, hover_trim,
     es8, o8 = build_sharded_fused_rollout(hover_env, B, STEPS, mesh=mesh)(
         shard_env_state(es, mesh), acts)
 
-    np.testing.assert_array_equal(np.asarray(o1["reward"]),
-                                  np.asarray(o8["reward"]))
-    np.testing.assert_array_equal(np.asarray(es1.heli.flatten()),
-                                  np.asarray(es8.heli.flatten()))
+    np.testing.assert_allclose(np.asarray(o1["reward"]),
+                               np.asarray(o8["reward"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(o1["done"]),
+                                  np.asarray(o8["done"]))
+    np.testing.assert_array_equal(np.asarray(es1.steps), np.asarray(es8.steps))
+    np.testing.assert_allclose(np.asarray(es1.heli.flatten()),
+                               np.asarray(es8.heli.flatten()),
+                               rtol=1e-3, atol=1e-4)

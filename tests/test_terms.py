@@ -8,6 +8,8 @@ import pytest
 from heligym_tpu.models import load_params
 from heligym_tpu.ops import aero, rotor
 
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
+
 RTOL = 3e-5
 ATOL = 2e-2   # forces are O(1e3..1e4) lbf; this is ~1e-6 relative at scale
 

@@ -1,9 +1,12 @@
 """Terrain heightmap lookup parity, including the reference's clamp quirks."""
 import jax
 import numpy as np
+import pytest
 
 from heligym_tpu.models import load_params
 from heligym_tpu.ops import terrain as T
+
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
 
 
 def test_ground_height_matches_reference(fixtures):

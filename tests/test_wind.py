@@ -11,6 +11,8 @@ from heligym_tpu.ops.integrator import rk4_k4only
 from heligym_tpu.ops.state import WindState
 from heligym_tpu.utils.constants import DT
 
+pytestmark = pytest.mark.quick  # ~2-minute smoke tier: pytest -m quick
+
 
 @pytest.fixture(scope="module")
 def wp():
