@@ -42,32 +42,47 @@ def main():
     es = _broadcast_and_fold(es1, jax.random.PRNGKey(0), num_envs)
     actions = jnp.tile(jnp.asarray(tr.action), (num_envs, 1))
 
+    # The heightmap rides through the jit boundary as an ARGUMENT — the
+    # packed texel table, so the per-step lookup is ONE slice gather
+    # (closures / in-loop reshapes re-materialize the map every step;
+    # ops/terrain.py docstring).
+    hmap = env.terrain.packed
+
     if args.unfused:
-        def chunk(es, actions):
+        def chunk(es, actions, hmap):
             def body(es, _):
-                new_es, out = jax.vmap(env.step)(es, actions)
+                new_es, out = jax.vmap(env.step, in_axes=(0, 0, None))(
+                    es, actions, hmap)
                 return auto_reset(new_es, out)[0], None
             es, _ = jax.lax.scan(body, es, None, length=args.chunk_steps)
             return es
         roll = jax.jit(chunk, donate_argnums=0)
 
         def run(es):
-            return roll(es, actions)
+            return roll(es, actions, hmap)
     else:
         fused = build_fused_rollout(env, num_envs, args.chunk_steps, collect=(),
                                     block_envs=args.block_envs, unroll=args.unroll)
-        roll = jax.jit(lambda es, a: fused(es, a)[0], donate_argnums=0)
+        roll = jax.jit(lambda es, a, hm: fused(es, a, hmap=hm)[0],
+                       donate_argnums=0)
 
         def run(es):
-            return roll(es, actions)
+            return roll(es, actions, hmap)
+
+    def sync(es):
+        # A device->host scalar fetch: the only sync that provably waits for
+        # the whole dispatch chain (block_until_ready on donated arrays has
+        # been observed returning early through the remote-TPU tunnel).
+        import numpy as np
+        assert np.isfinite(float(jnp.asarray(es.heli.z).ravel()[0]))
 
     es = run(es)               # compile + warmup
-    jax.block_until_ready(es)
+    sync(es)
 
     t0 = time.perf_counter()
     for _ in range(args.chunks):
         es = run(es)
-    jax.block_until_ready(es)
+    sync(es)
     dt = time.perf_counter() - t0
 
     total = num_envs * args.chunk_steps * args.chunks

@@ -207,10 +207,11 @@ class HeliEnv:
     # All sub-steps are batch-polymorphic: state fields may be () or (B,);
     # no vmap is involved (see ops/state.py design note).
 
-    def heli_step(self, heli: HeliState, action4, wind_ned3):
+    def heli_step(self, heli: HeliState, action4, wind_ned3, hmap=None):
         """One helicopter RK4 step + post-step angle wrap
         (dynamics.py:158-171, helicopter_dynamics.py:73-77)."""
-        h_ground = terrain_ops.ground_height(self.terrain, heli.x, heli.y)
+        h_ground = terrain_ops.ground_height(self.terrain, heli.x, heli.y,
+                                             hmap=hmap)
         return self.heli_step_with_h(heli, action4, wind_ned3, h_ground)
 
     def heli_step_with_h(self, heli: HeliState, action4, wind_ned3, h_ground):
@@ -250,13 +251,18 @@ class HeliEnv:
         return wind_new, wind_ned, heli_new, dots, obs, reward, success_step
 
     # -- the env step ------------------------------------------------------
-    def step(self, es: EnvState, action) -> Tuple[EnvState, StepOutput]:
-        """Pure env transition (single env; vmap for batches)."""
+    def step(self, es: EnvState, action, hmap=None) -> Tuple[EnvState, StepOutput]:
+        """Pure env transition (single env; vmap for batches).
+
+        `hmap`: the terrain heightmap as an argument-plumbed device array.
+        Hot loops MUST pass it (vmap in_axes=None); closing over the default
+        `terrain.hmap` constant costs ~100 us per scan iteration on TPU (see
+        ops/terrain.py docstring)."""
         key, eta_key = jax.random.split(es.key)
         eta = jax.random.normal(eta_key, (3,), dtype=jnp.float32) * (1.0 / self.dt) ** 0.5
-        return self.step_with_eta(es.replace(key=key), action, eta)
+        return self.step_with_eta(es.replace(key=key), action, eta, hmap=hmap)
 
-    def step_with_eta(self, es: EnvState, action, eta) -> Tuple[EnvState, StepOutput]:
+    def step_with_eta(self, es: EnvState, action, eta, hmap=None) -> Tuple[EnvState, StepOutput]:
         """Env transition with the Dryden white noise injected explicitly —
         the seam that lets golden tests replay the reference's recorded noise
         (SURVEY.md §5 RNG). `eta` must already be scaled by 1/sqrt(dt)."""
@@ -265,14 +271,15 @@ class HeliEnv:
                        es.obs[..., 16])
         action4 = tuple(action[..., i] for i in range(4))
         eta3 = tuple(eta[..., i] for i in range(3))
-        h_ground = terrain_ops.ground_height(self.terrain, es.heli.x, es.heli.y)
+        h_ground = terrain_ops.ground_height(self.terrain, es.heli.x, es.heli.y,
+                                             hmap=hmap)
         wind_new, wind_ned, heli_new, dots, obs_t, reward, success_step = (
             self.step_physics(es.heli, es.wind, wind_action, eta3, action4,
                               h_ground, task_id=es.task_id))
         obs = jnp.stack(obs_t, axis=-1)
         steps = es.steps + 1
 
-        failed = self._is_failed(heli_new, dots)
+        failed = self._is_failed(heli_new, dots, hmap=hmap)
         successed = es.successed_steps >= self.success_steps_required
         time_up = steps >= self.time_up_steps
         # The reference writes `done = ... or reward == np.nan` intending a NaN
@@ -294,12 +301,13 @@ class HeliEnv:
                          failed=failed, successed=successed, time_up=time_up)
         return new_es, out
 
-    def _is_failed(self, heli: HeliState, dots: HeliState):
+    def _is_failed(self, heli: HeliState, dots: HeliState, hmap=None):
         """Crash / out-of-bounds detection (helicopter.py:226-234). The roll
         and pitch comparisons are signed, as in the reference."""
         p = self.params
         touch_alt = terrain_ops.ground_touching_altitude(p, self.terrain,
-                                                         heli.x, heli.y)
+                                                         heli.x, heli.y,
+                                                         hmap=hmap)
         cond1 = (-heli.z) - touch_alt < 0.0
         cond2 = dots.z > p.MR.V_TIP * 0.05
         cond3 = heli.phi > 60.0 * D2R

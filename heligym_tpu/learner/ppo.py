@@ -145,6 +145,7 @@ class PPOLearner:
         inner = build_fused_policy_rollout(
             self.env, local, cfg.rollout_steps, self._policy_fn(ENV_AXIS))
         sh = P(ENV_AXIS)
+        hm = P()  # terrain table: replicated per device
         traj_specs = {"obs": P(None, ENV_AXIS, None),
                       "action": P(None, ENV_AXIS, None),
                       "raw_action": P(None, ENV_AXIS, None),
@@ -155,16 +156,16 @@ class PPOLearner:
                       "truncated": P(None, ENV_AXIS),
                       "final_obs": P(None, ENV_AXIS, None)}
         return jax.shard_map(inner, mesh=self.mesh,
-                             in_specs=(sh, P(), P()),
+                             in_specs=(sh, P(), P(), hm),
                              out_specs=(sh, traj_specs), check_vma=False)
 
-    def _collect_fused(self, params, es: EnvState, key):
+    def _collect_fused(self, params, es: EnvState, key, hmap):
         """Rollout through the fused Pallas step kernel: policy matmuls in
         XLA (MXU), physics in one Mosaic kernel per step (per device shard
         on multi-device meshes)."""
         if self._fused_rollout is None:
             self._fused_rollout = self._build_fused_rollout()
-        es, traj = self._fused_rollout(es, params, key)
+        es, traj = self._fused_rollout(es, params, key, hmap)
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
                           -100.0, 100.0)
@@ -182,7 +183,7 @@ class PPOLearner:
         _, _, value = self.network.apply(params, self._norm(obs))
         return value
 
-    def _collect(self, params, es: EnvState, key):
+    def _collect(self, params, es: EnvState, key, hmap):
         def scan_step(carry, _):
             es, key = carry
             key, k_act = jax.random.split(key)
@@ -191,7 +192,8 @@ class PPOLearner:
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
             clipped = jnp.clip(action, -1.0, 1.0)
-            new_es, out = jax.vmap(self.env.step)(es, clipped)
+            new_es, out = jax.vmap(self.env.step, in_axes=(0, 0, None))(
+                es, clipped, hmap)
             final_obs = out.obs              # pre-reset terminal/next obs
             new_es, out = auto_reset(new_es, out)
             # The terminating step of a blown-up env can carry a non-finite
@@ -282,6 +284,12 @@ class PPOLearner:
         return (params, opt_state, key, flat, advantages, returns), metrics
 
     # -------------------------------------------------------- train step
+    def train_step_uses_fused(self) -> bool:
+        """True when collection will run through the fused Pallas kernel
+        (num_envs must fill whole 128-lane blocks on every device)."""
+        return (self.config.use_fused_rollout
+                and self.config.num_envs % (128 * self.mesh.devices.size) == 0)
+
     def train_step_fn(self):
         """One jitted PPO iteration: rollout + GAE + epochs of minibatches."""
         if self._train_step is not None:
@@ -290,13 +298,12 @@ class PPOLearner:
         sh_env = env_sharding(self.mesh)
         rep = replicated_sharding(self.mesh)
 
-        fused_ok = (cfg.use_fused_rollout
-                    and cfg.num_envs % (128 * self.mesh.devices.size) == 0)
-        collect = self._collect_fused if fused_ok else self._collect
+        collect = (self._collect_fused if self.train_step_uses_fused()
+                   else self._collect)
 
-        def _step(ts: TrainState):
+        def _step(ts: TrainState, hmap):
             key, k_roll, k_upd = jax.random.split(ts.key, 3)
-            es, _, traj = collect(ts.params, ts.env_state, k_roll)
+            es, _, traj = collect(ts.params, ts.env_state, k_roll, hmap)
             advantages, returns = self._gae(traj)
             # (T, B, ...) -> (T*B, ...)
             flat = jax.tree_util.tree_map(
@@ -319,11 +326,17 @@ class PPOLearner:
         state_shardings = TrainState(
             params=rep, opt_state=rep, env_state=sh_env, key=rep,
             update_count=rep)
-        self._train_step = jax.jit(
+        jitted = jax.jit(
             _step,
-            in_shardings=(state_shardings,),
+            in_shardings=(state_shardings, rep),
             out_shardings=(state_shardings, rep),
             donate_argnums=(0,))
+        # The terrain table MUST enter the train step as a runtime ARGUMENT:
+        # a closed-over table becomes a jaxpr constant that re-materializes
+        # inside the rollout scan (~100 us/step; ops/terrain.py docstring).
+        from ..ops import terrain as terrain_ops
+        hmap = jax.device_put(terrain_ops.prep_hmap_arg(self.env.terrain), rep)
+        self._train_step = lambda ts: jitted(ts, hmap)
         return self._train_step
 
     # -------------------------------------------------------- checkpointing

@@ -184,6 +184,13 @@ def build_fused_core(env: HeliEnv, num_envs: int, block_envs: Optional[int] = No
     if interpret is None:
         # Mosaic kernels need a real TPU; interpret on CPU test backends.
         interpret = jax.default_backend() != "tpu"
+        if interpret:
+            import warnings
+            warnings.warn(
+                "fused Pallas kernel running in INTERPRET mode on backend "
+                f"'{jax.default_backend()}' — orders of magnitude slower than "
+                "a compiled TPU kernel; fine for tests, wrong for production",
+                stacklevel=3)
 
     def spec(rows):
         return pl.BlockSpec((rows, blk), lambda i: (0, i),
@@ -200,9 +207,12 @@ def build_fused_core(env: HeliEnv, num_envs: int, block_envs: Optional[int] = No
     )
 
 
-def _pending_height(env: HeliEnv, c):
-    """Terrain height under the pending position (carry rows 15/16)."""
-    return terrain_ops.ground_height(env.terrain, c[_H0 + 15], c[_H0 + 16])
+def _pending_height(env: HeliEnv, c, hmap):
+    """Terrain height under the pending position (carry rows 15/16).
+    `hmap` must be an argument-plumbed device array: a closed-over constant
+    map costs ~100 us/scan-iteration on TPU (ops/terrain.py docstring)."""
+    return terrain_ops.ground_height(env.terrain, c[_H0 + 15], c[_H0 + 16],
+                                     hmap=hmap)
 
 
 def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
@@ -211,7 +221,7 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
     epilogue, draw_eta). carry = one (75, B) f32 block; init = (63, B)."""
     fused = build_fused_core(env, num_envs, block_envs, interpret, auto_reset)
 
-    def pack(es: EnvState):
+    def pack(es: EnvState, hmap):
         state = _state_rows(es.heli, es.wind, es.obs.T, es.dots, es.wind_ned.T)
         zeros = jnp.zeros((_STEPS - _PF0, num_envs), jnp.float32)
         # zero partials make iteration 0's flag/reset phase a no-op for any
@@ -224,7 +234,7 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
             _state_rows(es.init.heli, es.init.wind, es.init.obs.T,
                         es.init.dots, es.init.wind_ned.T),
             terrain_ops.ground_height(env.terrain, es.init.heli.x,
-                                      es.init.heli.y)[None],
+                                      es.init.heli.y, hmap=hmap)[None],
             jnp.broadcast_to(es.task_id, es.steps.shape).astype(
                 jnp.float32)[None]], axis=0)
         return carry, init
@@ -239,12 +249,12 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
             steps=c[_STEPS].astype(jnp.int32),
             successed_steps=c[_SUCC].astype(jnp.int32))
 
-    def step(c, init, act_rows, eta_rows, h=None):
+    def step(c, init, act_rows, eta_rows, hmap, h=None):
         """One env step. `act_rows` (4,B), `eta_rows` (3,B) pre-scaled by
         1/sqrt(dt); `h` (B,) lets a caller reuse an already-gathered pending
         height. Emits reward for THIS transition and flags/obs for the
         PREVIOUS one (see module docstring)."""
-        h = _pending_height(env, c) if h is None else h
+        h = _pending_height(env, c, hmap) if h is None else h
         upd = jnp.concatenate([h[None], eta_rows, act_rows], axis=0)
         c = jax.lax.dynamic_update_slice(c, upd, (_HP, 0))
         c, x = fused(c, init)
@@ -254,10 +264,10 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
                 "final_obs": c[_O0:_D0]}
         return c, info
 
-    def epilogue(c, init):
+    def epilogue(c, init, hmap):
         """Final transition's flags + the final committed carry (XLA, once
         per rollout)."""
-        h = _pending_height(env, c)
+        h = _pending_height(env, c, hmap)
         done, trunc, failed = _flags_from_partials(env, c[_PF0:_HP],
                                                    c[_H0 + 17], h)
         if auto_reset:
@@ -301,25 +311,32 @@ def build_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
     "inject" makes the rollout take an explicit eta_seq (steps, 3, num_envs)
     already scaled by 1/sqrt(dt) — the parity-test seam (the unfused path
     replays the same array through `HeliEnv.step_with_eta`).
+    `hmap`: the terrain heightmap. Callers that jit the rollout MUST thread
+    it through their jit boundary as an argument — the `terrain.hmap`
+    fallback becomes a trace-time constant that costs ~100 us/step on TPU
+    (ops/terrain.py docstring).
     """
     pack, unpack, step_core, epilogue, draw_eta = _make_step_core(
         env, num_envs, block_envs, interpret, auto_reset)
 
-    def rollout(es: EnvState, actions, eta_seq=None):
+    def rollout(es: EnvState, actions, eta_seq=None, hmap=None):
+        # normalize ONCE, outside the scan (defaults to the packed texel
+        # table — ONE gather/step; ops/terrain.py docstring)
+        hmap = terrain_ops.prep_hmap_arg(env.terrain, hmap)
         if eta_mode == "inject":
             if eta_seq is None:
                 raise ValueError("eta_mode='inject' needs an eta_seq")
             keys = es.key
         else:
             keys, eta_seq = draw_eta(es, steps)
-        carry0, init = pack(es)
+        carry0, init = pack(es, hmap)
         act_seq = actions if actions.ndim == 3 else None
         act_const = actions.T if actions.ndim == 2 else None
 
         def body(carry, xs):
             t, eta_t = xs
             act = act_const if act_seq is None else act_seq[t].T
-            carry, info = step_core(carry, init, act, eta_t)
+            carry, info = step_core(carry, init, act, eta_t, hmap)
             outs = {}
             if "reward" in collect:
                 outs["reward"] = info["reward"]
@@ -334,7 +351,7 @@ def build_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
 
         carry, outs = jax.lax.scan(body, carry0, (jnp.arange(steps), eta_seq),
                                    unroll=unroll)
-        carry, flags = epilogue(carry, init)
+        carry, flags = epilogue(carry, init, hmap)
         if "done" in collect:
             outs["done"] = _shifted(outs["done"], flags["done"])
             outs["truncated"] = _shifted(outs["truncated"], flags["truncated"])
@@ -364,16 +381,17 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
     pack, unpack, step_core, epilogue, draw_eta = _make_step_core(
         env, num_envs, block_envs, interpret, auto_reset)
 
-    def rollout(es: EnvState, policy_params, key):
+    def rollout(es: EnvState, policy_params, key, hmap=None):
+        hmap = terrain_ops.prep_hmap_arg(env.terrain, hmap)
         keys, eta_seq = draw_eta(es, steps)
-        carry0, init = pack(es)
+        carry0, init = pack(es, hmap)
 
         def body(carry, xs):
             key_t, eta_t = xs
             # the policy must see the post-reset obs, so the flag/reset math
             # for the pending transition is mirrored here in XLA (cheap
             # fusion); the kernel recomputes it internally for the state rows
-            h = _pending_height(env, carry)
+            h = _pending_height(env, carry, hmap)
             done, trunc, _ = _flags_from_partials(env, carry[_PF0:_HP],
                                                   carry[_H0 + 17], h)
             ended = done | trunc
@@ -381,7 +399,7 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
                                  carry[_O0:_D0]) if auto_reset else carry[_O0:_D0]
             obs = obs_rows.T                               # (B, 17)
             actions, aux = policy_fn(policy_params, obs, key_t)
-            carry, info = step_core(carry, init, actions.T, eta_t, h=h)
+            carry, info = step_core(carry, init, actions.T, eta_t, hmap, h=h)
             outs = {"obs": obs, "action": actions, "reward": info["reward"],
                     "terminated": info["done_prev"],
                     "truncated": info["trunc_prev"],
@@ -390,7 +408,7 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
 
         step_keys = jax.random.split(key, steps)
         carry, traj = jax.lax.scan(body, carry0, (step_keys, eta_seq))
-        carry, flags = epilogue(carry, init)
+        carry, flags = epilogue(carry, init, hmap)
         traj["terminated"] = _shifted(traj["terminated"], flags["done"])
         traj["truncated"] = _shifted(traj["truncated"], flags["truncated"])
         es = unpack(es, carry).replace(key=keys)

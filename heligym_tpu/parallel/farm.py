@@ -49,37 +49,48 @@ class EnvFarm:
         return es, obs
 
     def step_fn(self):
-        """Jitted sharded step: state in/out sharded over the env axis."""
+        """Jitted sharded step: state in/out sharded over the env axis.
+        The terrain table rides as a replicated runtime argument (closure
+        capture would embed it as a slow jaxpr constant; ops/terrain.py)."""
+        from ..ops import terrain as terrain_ops
         sh = env_sharding(self.mesh)
         venv = self.venv
 
-        def _step(es, actions):
-            new_es, out = jax.vmap(venv.env.step)(es, actions)
+        def _step(es, actions, hmap):
+            new_es, out = jax.vmap(venv.env.step, in_axes=(0, 0, None))(
+                es, actions, hmap)
             if venv.auto_reset:
                 new_es, out = auto_reset(new_es, out)
             return new_es, out
 
-        return jax.jit(_step, in_shardings=(sh, sh), out_shardings=(sh, sh),
-                       donate_argnums=(0,))
+        jitted = jax.jit(_step, in_shardings=(sh, sh, None),
+                         out_shardings=(sh, sh), donate_argnums=(0,))
+        hmap = terrain_ops.prep_hmap_arg(venv.env.terrain)
+        return lambda es, actions: jitted(es, actions, hmap)
 
     def rollout_fn(self, policy: Callable, steps: int):
         """Jitted sharded rollout: lax.scan over time, envs sharded.
 
         policy(params, obs) -> actions. Returns f(es, policy_params) ->
         (final_es, StepOutput stacked over `steps`)."""
+        from ..ops import terrain as terrain_ops
         sh = env_sharding(self.mesh)
         venv = self.venv
 
-        def _rollout(es, policy_params):
+        def _rollout(es, policy_params, hmap):
             def scan_step(es, _):
                 actions = policy(policy_params, es.obs)
-                es, out = jax.vmap(venv.env.step)(es, actions)
+                es, out = jax.vmap(venv.env.step, in_axes=(0, 0, None))(
+                    es, actions, hmap)
                 if venv.auto_reset:
                     es, out = auto_reset(es, out)
                 return es, out
             return jax.lax.scan(scan_step, es, None, length=steps)
 
-        return jax.jit(_rollout, in_shardings=(sh, None), donate_argnums=(0,))
+        jitted = jax.jit(_rollout, in_shardings=(sh, None, None),
+                         donate_argnums=(0,))
+        hmap = terrain_ops.prep_hmap_arg(venv.env.terrain)
+        return lambda es, policy_params: jitted(es, policy_params, hmap)
 
 
 def build_sharded_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
@@ -115,16 +126,22 @@ def build_sharded_fused_rollout(env: HeliEnv, num_envs: int, steps: int,
     if "obs" in collect:
         out_specs[1]["obs"] = P(None, ENV_AXIS, None)
 
-    def sharded(es: EnvState, actions):
+    from ..ops import terrain as terrain_ops
+
+    def sharded(es: EnvState, actions, hmap):
         # The env axis of `actions` differs by form: (num_envs, 4) constant
         # actions shard on axis 0, (steps, num_envs, 4) sequences on axis 1.
         # A single P('env') spec would shard a 3-D sequence's TIME axis and
         # silently mis-read trajectories inside the shard.
         act_spec = P(ENV_AXIS) if actions.ndim == 2 else P(None, ENV_AXIS)
-        return jax.shard_map(inner, mesh=mesh, in_specs=(shard, act_spec),
-                             out_specs=out_specs, check_vma=False)(es, actions)
+        run = lambda es, a, hm: inner(es, a, hmap=hm)
+        return jax.shard_map(run, mesh=mesh, in_specs=(shard, act_spec, P()),
+                             out_specs=out_specs, check_vma=False)(es, actions,
+                                                                   hmap)
 
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    hmap = terrain_ops.prep_hmap_arg(env.terrain)
+    return lambda es, actions: jitted(es, actions, hmap)
 
 
 def farm_metrics(out: StepOutput) -> dict:
