@@ -350,6 +350,7 @@ def main():
     record_trim(env)
     record_rollouts(hwt, WindDynamics)
     record_second_airframe(HelicopterDynamics)
+    record_heavy_rollout(HelicopterDynamics)
     print("done ->", FIXTURE_DIR)
 
 
@@ -383,3 +384,45 @@ def record_second_airframe(HelicopterDynamics, repo_root="/root/repo"):
              states=states, actions=actions, winds=winds,
              dots=np.stack(dots_all), obs=np.stack(obs_all))
     print("dynamics_heavy.npz:", len(states), "cases")
+
+
+def record_heavy_rollout(HelicopterDynamics, repo_root="/root/repo"):
+    """Second-airframe TRAJECTORY fixtures: reference trim + held-action RK4
+    rollouts with aw109_heavy data, at the dynamics level (the reference env
+    wrapper is hard-wired to aw109). Wind is held constant for the whole
+    rollout so the repo side can replay with its heli-only RK4 step
+    (env.heli_step) — same semantics as DynamicSystem.step (dynamics.py:158-171)
+    with a frozen wind input."""
+    import yaml
+    with open(os.path.join(repo_root, "heligym_tpu/models/aw109_heavy.yaml")) as f:
+        params = yaml.safe_load(f)
+    params["ENV"]["HMAP_PATH"] = "/models/terrain/terrain_hmap.png"
+    params["ENV"]["NMAP_PATH"] = "/models/terrain/terrain_normal.png"
+    cases = [
+        # xy offset keeps the hover off the terrain cell CORNER at (0,0):
+        # the reference floors the cell index in float64, so +-5e-9 ft of
+        # hover drift flips cells (the middle/north/east interpolation is
+        # discontinuous across cells) in a way float32 index math can't see.
+        ("ground", {"xy": [50.0, -30.0]}, np.zeros(3, np.float32)),
+        ("cruise", {"ned_vel": [80.0, 0.0, 0.0], "gr_alt": 2000.0},
+         np.array([5.0, -3.0, 1.0], np.float32)),
+    ]
+    out = {}
+    for name, cond, wind in cases:
+        dyn = HelicopterDynamics(params, 0.02)
+        dyn.set_wind(wind.copy())
+        dyn.reset(trim_cond=cond)
+        out[f"{name}_cond"] = np.asarray(repr(cond))
+        out[f"{name}_wind"] = wind
+        out[f"{name}_state0"] = state_vec(dyn)
+        out[f"{name}_action"] = np.asarray(dyn.action, np.float32).copy()
+        out[f"{name}_obs0"] = np.asarray(dyn.observation, np.float64).copy()
+        states, obs = [], []
+        for _ in range(250):
+            dyn.step(out[f"{name}_action"])
+            states.append(state_vec(dyn))
+            obs.append(np.asarray(dyn.observation, np.float64).copy())
+        out[f"{name}_states"] = np.stack(states)
+        out[f"{name}_obs"] = np.stack(obs)
+    np.savez(os.path.join(FIXTURE_DIR, "rollouts_heavy.npz"), **out)
+    print("rollouts_heavy.npz:", [c[0] for c in cases])
