@@ -58,6 +58,17 @@ Model* create_terrain_model_textured(const float* hmap, const float* rgb,
   return sr::make_terrain(hmap, h, w, ns_size_m, ew_size_m, height_scale_m, rgb);
 }
 
+// Full-resolution bilinear terrain texture: `tex` is (th, tw, 3) float RGB
+// sampled per fragment (the software analogue of the reference's GL_LINEAR
+// terrain_texture.png, model.cpp:225-296), independent of the mesh grid.
+Model* create_terrain_model_textured2(const float* hmap, int h, int w,
+                                      float ns_size_m, float ew_size_m,
+                                      float height_scale_m, const float* tex,
+                                      int th, int tw) {
+  return sr::make_terrain(hmap, h, w, ns_size_m, ew_size_m, height_scale_m,
+                          nullptr, tex, th, tw);
+}
+
 void destroy_model(Model* m) { delete m; }
 
 void add_permanent_to_window(Window* w, Model* m) { w->permanent.push_back(m); }
@@ -90,8 +101,27 @@ void set_camera_pos(sr::Camera* c, float x, float y, float z) {
 float* get_camera_pos(sr::Camera* c) { return &c->position.x; }
 
 void set_camera_look_at(sr::Camera* c, float x, float y, float z) {
-  c->front = sr::normalize(sr::Vec3{x, y, z} - c->position);
+  c->set_front(sr::Vec3{x, y, z} - c->position);
 }
+
+// Fly-camera input surface, mirroring the reference's event handlers
+// (camera.cpp:39-96 via gWindow.cpp:260-309): direction is the
+// Camera_Movement enum order FORWARD..BOOST.
+void camera_process_keyboard(sr::Camera* c, int direction, float dt) {
+  c->process_keyboard(direction, dt);
+}
+
+void camera_process_mouse(sr::Camera* c, float dx, float dy,
+                          bool constrain_pitch) {
+  c->process_mouse(dx, dy, constrain_pitch);
+}
+
+void camera_process_scroll(sr::Camera* c, float dy) { c->process_scroll(dy); }
+
+float get_camera_zoom(sr::Camera* c) { return c->fov_deg; }
+
+// SSAA factor (1 = off, 2 = 4 samples/px ~= the reference's 4x MSAA request)
+void set_supersampling(Window* w, int factor) { w->set_supersampling(factor); }
 
 bool is_visible(Window* w) { return w->visible; }
 

@@ -5,35 +5,120 @@
 #include <cstring>
 #include <fstream>
 #include <sstream>
+#include <thread>
 
 #include "font5x7.h"
 
 namespace sr {
 
+// ----------------------------------------------------------------- Camera
+void Camera::update_vectors() {
+  // camera.cpp:98-109: Front from Euler angles, then Right/Up re-orthogonalized
+  float cy = std::cos(yaw * 3.14159265f / 180.0f);
+  float sy = std::sin(yaw * 3.14159265f / 180.0f);
+  float cp = std::cos(pitch * 3.14159265f / 180.0f);
+  float sp = std::sin(pitch * 3.14159265f / 180.0f);
+  front = normalize(Vec3{cy * cp, sp, sy * cp});
+  right = normalize(cross(front, world_up));
+  up = normalize(cross(right, front));
+}
+
+void Camera::set_front(const Vec3& f) {
+  front = normalize(f);
+  // keep the Euler state consistent so a later mouse drag continues smoothly
+  pitch = std::asin(std::max(-1.0f, std::min(1.0f, front.y))) * 180.0f / 3.14159265f;
+  yaw = std::atan2(front.z, front.x) * 180.0f / 3.14159265f;
+  right = normalize(cross(front, world_up));
+  up = normalize(cross(right, front));
+}
+
+void Camera::process_keyboard(int direction, float dt) {
+  // camera.cpp:39-63 (BOOST multiplies speed by 50.5 for that event)
+  boost = 1.0f;
+  if (direction == CAM_BOOST) boost *= 50.5f;
+  float velocity = movement_speed * dt * boost;
+  if (direction == CAM_FORWARD) position = position + front * velocity;
+  if (direction == CAM_BACKWARD) position = position - front * velocity;
+  if (direction == CAM_LEFT) position = position - right * velocity;
+  if (direction == CAM_RIGHT) position = position + right * velocity;
+  if (direction == CAM_UP) position = position + up * velocity;
+  if (direction == CAM_DOWN) position = position - up * velocity;
+}
+
+void Camera::process_mouse(float dx, float dy, bool constrain_pitch) {
+  // camera.cpp:65-86
+  yaw += dx * mouse_sensitivity;
+  pitch += dy * mouse_sensitivity;
+  if (constrain_pitch) {
+    if (pitch > 89.0f) pitch = 89.0f;
+    if (pitch < -89.0f) pitch = -89.0f;
+  }
+  update_vectors();
+}
+
+void Camera::process_scroll(float dy) {
+  // camera.cpp:88-96: Zoom (fov) clamped to [1, 45]
+  fov_deg -= dy;
+  if (fov_deg < 1.0f) fov_deg = 1.0f;
+  if (fov_deg > 45.0f) fov_deg = 45.0f;
+}
+
 // ----------------------------------------------------------------- Window
 Window::Window(int w, int h, const char* title_)
     : width(w), height(h), title(title_ ? title_ : "") {
-  framebuffer.assign(static_cast<size_t>(w) * h * 3, 0);
-  zbuffer.assign(static_cast<size_t>(w) * h, 1e30f);
+  set_supersampling(ss);
   camera = new Camera();
   last_frame = std::chrono::steady_clock::now();
 }
 
 Window::~Window() { delete camera; }
 
+void Window::set_supersampling(int factor) {
+  ss = std::max(1, factor);
+  rw = width * ss;
+  rh = height * ss;
+  framebuffer.assign(static_cast<size_t>(width) * height * 3, 0);
+  colorbuf.assign(static_cast<size_t>(rw) * rh * 3, 0.0f);
+  zbuffer.assign(static_cast<size_t>(rw) * rh, 1e30f);
+}
+
 void Window::clear() {
   // vertical sky gradient toward the fog color at the horizon
-  for (int y = 0; y < height; ++y) {
-    float t = static_cast<float>(y) / height;
-    uint8_t r = static_cast<uint8_t>(255 * (0.35f + (fog_color.x - 0.35f) * t));
-    uint8_t g = static_cast<uint8_t>(255 * (0.55f + (fog_color.y - 0.55f) * t));
-    uint8_t b = static_cast<uint8_t>(255 * (0.85f + (fog_color.z - 0.85f) * t));
-    uint8_t* row = &framebuffer[static_cast<size_t>(y) * width * 3];
-    for (int x = 0; x < width; ++x) {
+  for (int y = 0; y < rh; ++y) {
+    float t = static_cast<float>(y) / rh;
+    float r = 0.35f + (fog_color.x - 0.35f) * t;
+    float g = 0.55f + (fog_color.y - 0.55f) * t;
+    float b = 0.85f + (fog_color.z - 0.85f) * t;
+    float* row = &colorbuf[static_cast<size_t>(y) * rw * 3];
+    for (int x = 0; x < rw; ++x) {
       row[3 * x] = r; row[3 * x + 1] = g; row[3 * x + 2] = b;
     }
   }
   std::fill(zbuffer.begin(), zbuffer.end(), 1e30f);
+}
+
+void Window::resolve() {
+  // box-filter downsample: the SSAA resolve (software stand-in for the
+  // reference's 4x MSAA framebuffer, gWindow.cpp:8-34)
+  float inv = 1.0f / (ss * ss);
+  for (int y = 0; y < height; ++y) {
+    for (int x = 0; x < width; ++x) {
+      float acc[3] = {0, 0, 0};
+      for (int sy = 0; sy < ss; ++sy) {
+        const float* row =
+            &colorbuf[((static_cast<size_t>(y) * ss + sy) * rw +
+                       static_cast<size_t>(x) * ss) * 3];
+        for (int sx = 0; sx < ss; ++sx) {
+          acc[0] += row[3 * sx];
+          acc[1] += row[3 * sx + 1];
+          acc[2] += row[3 * sx + 2];
+        }
+      }
+      uint8_t* px = &framebuffer[(static_cast<size_t>(y) * width + x) * 3];
+      for (int c = 0; c < 3; ++c)
+        px[c] = static_cast<uint8_t>(std::min(1.0f, acc[c] * inv) * 255.0f);
+    }
+  }
 }
 
 static Mat4 rotor_matrix(const Vec3& angles, const Vec3& hub) {
@@ -60,15 +145,18 @@ void Window::draw_model(Model* mdl) {
     Mat3 nmat = normal_matrix(base_mv);
     Mat4 mvp = proj * view * base_mv;
     bool has_groups = !mesh.groups.empty();
+    bool has_colors = !mesh.colors.empty();
+    bool has_uvs = !mesh.uvs.empty();
 
     for (size_t i = 0; i + 2 < mesh.indices.size(); i += 3) {
       Vec4 clip[3];
       Vec3 world_n[3], world_p[3], vcol[3];
+      Vec2 uv[3];
       bool reject = false;
-      bool has_colors = !mesh.colors.empty();
       for (int k = 0; k < 3; ++k) {
         uint32_t idx = mesh.indices[i + k];
         vcol[k] = has_colors ? mesh.colors[idx] : mesh.color;
+        uv[k] = has_uvs ? mesh.uvs[idx] : Vec2{0, 0};
         Vec3 p = mesh.positions[idx];
         Vec3 n = idx < mesh.normals.size() ? mesh.normals[idx] : Vec3{0, 1, 0};
         if (has_groups && mesh.groups[idx] != GROUP_BODY) {
@@ -85,7 +173,7 @@ void Window::draw_model(Model* mdl) {
         if (clip[k].w < 0.5f) reject = true;   // near-plane reject
       }
       if (reject) continue;
-      draw_triangle(clip, world_n, world_p, vcol, mesh.shaded);
+      draw_triangle(clip, world_n, world_p, vcol, uv, mesh);
     }
   }
   // reference semantics: transforms & rotor angles reset after draw
@@ -96,20 +184,20 @@ void Window::draw_model(Model* mdl) {
 }
 
 void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
-                           const Vec3* vcol, bool shaded) {
+                           const Vec3* vcol, const Vec2* uv, const Mesh& mesh) {
   // NDC -> screen; keep 1/w for perspective-correct attribute interpolation
   float sx[3], sy[3], sz[3], iw[3];
   for (int k = 0; k < 3; ++k) {
     float inv_w = 1.0f / clip[k].w;
     iw[k] = inv_w;
-    sx[k] = (clip[k].x * inv_w * 0.5f + 0.5f) * width;
-    sy[k] = (1.0f - (clip[k].y * inv_w * 0.5f + 0.5f)) * height;
+    sx[k] = (clip[k].x * inv_w * 0.5f + 0.5f) * rw;
+    sy[k] = (1.0f - (clip[k].y * inv_w * 0.5f + 0.5f)) * rh;
     sz[k] = clip[k].z * inv_w;
   }
   int minx = std::max(0, static_cast<int>(std::floor(std::min({sx[0], sx[1], sx[2]}))));
-  int maxx = std::min(width - 1, static_cast<int>(std::ceil(std::max({sx[0], sx[1], sx[2]}))));
+  int maxx = std::min(rw - 1, static_cast<int>(std::ceil(std::max({sx[0], sx[1], sx[2]}))));
   int miny = std::max(0, static_cast<int>(std::floor(std::min({sy[0], sy[1], sy[2]}))));
-  int maxy = std::min(height - 1, static_cast<int>(std::ceil(std::max({sy[0], sy[1], sy[2]}))));
+  int maxy = std::min(rh - 1, static_cast<int>(std::ceil(std::max({sy[0], sy[1], sy[2]}))));
   if (minx > maxx || miny > maxy) return;
 
   float d = (sy[1] - sy[2]) * (sx[0] - sx[2]) + (sx[2] - sx[1]) * (sy[0] - sy[2]);
@@ -117,7 +205,7 @@ void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
   float inv_d = 1.0f / d;
 
   Vec3 cam = camera->position;
-  Vec3 ldir = normalize(light_dir * -1.0f);
+  bool textured = mesh.texture.valid();
 
   for (int y = miny; y <= maxy; ++y) {
     for (int x = minx; x <= maxx; ++x) {
@@ -127,7 +215,7 @@ void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
       float w2 = 1.0f - w0 - w1;
       if (w0 < 0 || w1 < 0 || w2 < 0) continue;
       float z = w0 * sz[0] + w1 * sz[1] + w2 * sz[2];
-      size_t zi = static_cast<size_t>(y) * width + x;
+      size_t zi = static_cast<size_t>(y) * rw + x;
       if (z >= zbuffer[zi]) continue;
       zbuffer[zi] = z;
 
@@ -136,27 +224,60 @@ void Window::draw_triangle(const Vec4* clip, const Vec3* wn, const Vec3* wp,
       float qs = q0 + q1 + q2;
       if (qs > 1e-20f) { q0 /= qs; q1 /= qs; q2 /= qs; }
 
-      Vec3 out;
-      Vec3 color = vcol[0] * q0 + vcol[1] * q1 + vcol[2] * q2;
-      if (shaded) {
-        Vec3 n = normalize(wn[0] * q0 + wn[1] * q1 + wn[2] * q2);
-        float diff = std::max(0.0f, dot(n, ldir));
-        float lit = ambient + (1.0f - ambient) * diff;
-        out = {color.x * light_color.x * lit,
-               color.y * light_color.y * lit,
-               color.z * light_color.z * lit};
-        // exponential fog on view distance (terrain_frag.fs:38-62)
-        Vec3 p = wp[0] * q0 + wp[1] * q1 + wp[2] * q2;
-        float dist = length(p - cam);
-        float f = std::exp(-dist * fog_density);
-        out = fog_color * (1.0f - f) + out * f;
+      Vec3 tex;
+      if (textured) {
+        float u = uv[0].x * q0 + uv[1].x * q1 + uv[2].x * q2;
+        float v = uv[0].y * q0 + uv[1].y * q1 + uv[2].y * q2;
+        tex = mesh.texture.sample(u, v);
       } else {
-        out = color;
+        tex = vcol[0] * q0 + vcol[1] * q1 + vcol[2] * q2;
       }
-      uint8_t* px8 = &framebuffer[zi * 3];
-      px8[0] = static_cast<uint8_t>(std::min(1.0f, out.x) * 255);
-      px8[1] = static_cast<uint8_t>(std::min(1.0f, out.y) * 255);
-      px8[2] = static_cast<uint8_t>(std::min(1.0f, out.z) * 255);
+
+      Vec3 out;
+      if (mesh.shaded) {
+        // Blinn-Phong per the reference shaders (terrain_frag.fs:42-58,
+        // aw109_frag.fs:42-58): point light, ambient/diffuse/specular,
+        // result = (ambient + diffuse + specular) * tex — the reference
+        // multiplies the texel into ambient/diffuse AND the sum (its
+        // terrain shader quirk); reproduced for the terrain path.
+        Vec3 p = wp[0] * q0 + wp[1] * q1 + wp[2] * q2;
+        Vec3 n = normalize(wn[0] * q0 + wn[1] * q1 + wn[2] * q2);
+        Vec3 ldir = normalize(light_pos - p);
+        Vec3 vdir = normalize(cam - p);
+        Vec3 hdir = normalize(ldir + vdir);
+        float diff = std::max(0.0f, dot(ldir, n));
+        float spec_cos = mesh.terrain_spec
+                             ? std::max(0.0f, dot(n, hdir))        // terrain_frag.fs:55
+                             : std::max(0.0f, dot(vdir, hdir));    // aw109_frag.fs:55 quirk
+        float spec = std::pow(spec_cos, shininess);
+        Vec3 amb_d, diff_d;
+        if (mesh.terrain_spec) {
+          amb_d = {light_ambient.x * tex.x, light_ambient.y * tex.y,
+                   light_ambient.z * tex.z};
+          diff_d = tex * diff;
+        } else {
+          amb_d = {light_ambient.x * light_diffuse.x,
+                   light_ambient.y * light_diffuse.y,
+                   light_ambient.z * light_diffuse.z};
+          diff_d = light_diffuse * diff;
+        }
+        Vec3 spec_d = {light_specular.x * light_diffuse.x * spec,
+                       light_specular.y * light_diffuse.y * spec,
+                       light_specular.z * light_diffuse.z * spec};
+        Vec3 lit = amb_d + diff_d + spec_d;
+        out = {lit.x * tex.x, lit.y * tex.y, lit.z * tex.z};
+        // exp2 fog on view distance (terrain_frag.fs:40, gWindow.cpp:112-117)
+        float dist = length(p - cam);
+        float visibility = 1.0f - std::exp2(-std::pow(dist * fog_density,
+                                                      fog_gradient));
+        if (visibility < 0.0f) visibility = 0.0f;
+        if (visibility > 1.0f) visibility = 1.0f;
+        out = out * (1.0f - visibility) + fog_color * visibility;
+      } else {
+        out = tex;
+      }
+      float* px3 = &colorbuf[zi * 3];
+      px3[0] = out.x; px3[1] = out.y; px3[2] = out.z;
     }
   }
 }
@@ -192,14 +313,38 @@ int Window::create_guiText(const char* title_, float x, float y) {
   return static_cast<int>(gui_sections.size()) - 1;
 }
 
+// Adaptive spin/sleep frame throttle replicating the reference's
+// preciseSleep (gWindow.cpp:193-221): sleep in 1 ms chunks while the
+// remaining time exceeds a running (mean + stddev) estimate of the actual
+// 1 ms-sleep cost, then spin the remainder.
+static void precise_sleep(Window* w, double seconds) {
+  using clock = std::chrono::steady_clock;
+  while (seconds > w->sleep_estimate_s) {
+    auto start = clock::now();
+    std::this_thread::sleep_for(std::chrono::milliseconds(1));
+    double observed = std::chrono::duration<double>(clock::now() - start).count();
+    seconds -= observed;
+    ++w->sleep_count;
+    double delta = observed - w->sleep_mean_s;
+    w->sleep_mean_s += delta / w->sleep_count;
+    w->sleep_m2_s += delta * (observed - w->sleep_mean_s);
+    w->sleep_estimate_s =
+        w->sleep_mean_s + std::sqrt(w->sleep_m2_s / w->sleep_count);
+  }
+  auto start = clock::now();
+  while (std::chrono::duration<double>(clock::now() - start).count() < seconds) {
+  }
+}
+
 void Window::render() {
   clear();
   for (Model* m : permanent) draw_model(m);
   for (Model* m : instantaneous) draw_model(m);
   instantaneous.clear();
+  resolve();
 
-  // HUD text overlay (equivalent of the reference's ImGui sections,
-  // gWindow.cpp:339-368)
+  // HUD text overlay at display resolution (equivalent of the reference's
+  // ImGui sections, gWindow.cpp:339-368)
   for (const auto& sec : gui_sections) {
     int x = static_cast<int>(sec.pos_x), y = static_cast<int>(sec.pos_y);
     draw_text(x, y, sec.title, 255, 255, 255);
@@ -212,9 +357,18 @@ void Window::render() {
     }
   }
 
-  // FPS accounting (gWindow.cpp:161-181); headless, so no sleep throttle.
+  // FPS cap (set_fps): only throttle when a finite limit was requested —
+  // headless training never sets one, so the sim path stays unthrottled.
   auto now = std::chrono::steady_clock::now();
   float dt = std::chrono::duration<float>(now - last_frame).count();
+  if (FPS_limit < 1e8f && FPS_limit > 0.0f) {
+    double budget = 1.0 / FPS_limit - dt;
+    if (budget > 0) {
+      precise_sleep(this, budget);
+      now = std::chrono::steady_clock::now();
+      dt = std::chrono::duration<float>(now - last_frame).count();
+    }
+  }
   last_frame = now;
   if (dt > 0) FPS = 0.9f * FPS + 0.1f * (1.0f / dt);
   frame_count++;
@@ -368,15 +522,22 @@ Model* make_sky_dome() {
 
 Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
                     float ew_size_m, float height_scale_m,
-                    const float* rgb) {
+                    const float* rgb, const float* tex_rgb, int th, int tw) {
   auto* mdl = new Model();
   Mesh mesh;
   mesh.color = {0.42f, 0.47f, 0.33f};
+  mesh.terrain_spec = true;   // terrain_frag.fs specular path
   // GL space: x = north, z = east, y = up. Row r is the east axis index and
   // column c the north axis index, matching the physics hmap convention
   // (terrain.py / helicopter_dynamics.py:167-195: hmap[y_ind, x_ind]).
   float dx = ns_size_m / w;
   float dz = ew_size_m / h;
+  bool textured = tex_rgb != nullptr && th > 0 && tw > 0;
+  if (textured) {
+    mesh.texture.w = tw;
+    mesh.texture.h = th;
+    mesh.texture.rgb.assign(tex_rgb, tex_rgb + static_cast<size_t>(th) * tw * 3);
+  }
   mesh.positions.reserve(static_cast<size_t>(h) * w);
   for (int r = 0; r < h; ++r) {
     for (int c = 0; c < w; ++c) {
@@ -386,6 +547,12 @@ Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,
       mesh.positions.push_back({north, up, east});
       mesh.normals.push_back({0, 1, 0});
       mesh.groups.push_back(GROUP_BODY);
+      if (textured) {
+        // texture row = east index (r), texture col = north index (c):
+        // same axis convention as the heightmap, sampled bilinearly at
+        // full texture resolution between mesh vertices
+        mesh.uvs.push_back({(c + 0.5f) / w, (r + 0.5f) / h});
+      }
       if (rgb) {
         size_t o = (static_cast<size_t>(r) * w + c) * 3;
         mesh.colors.push_back({rgb[o], rgb[o + 1], rgb[o + 2]});

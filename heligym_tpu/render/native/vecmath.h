@@ -7,6 +7,10 @@
 
 namespace sr {
 
+struct Vec2 {
+  float x = 0, y = 0;
+};
+
 struct Vec3 {
   float x = 0, y = 0, z = 0;
   Vec3() = default;

@@ -56,6 +56,12 @@ def _load():
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         c.c_int, c.c_int, c.c_float, c.c_float, c.c_float]
+    lib.create_terrain_model_textured2.restype = c.c_void_p
+    lib.create_terrain_model_textured2.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        c.c_int, c.c_int, c.c_float, c.c_float, c.c_float,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        c.c_int, c.c_int]
     lib.create_procedural_model.restype = c.c_void_p
     lib.create_procedural_model.argtypes = [c.c_char_p]
     lib.destroy_model.argtypes = [c.c_void_p]
@@ -73,6 +79,13 @@ def _load():
     lib.get_camera_pos.restype = c.POINTER(c.c_float)
     lib.get_camera_pos.argtypes = [c.c_void_p]
     lib.set_camera_look_at.argtypes = [c.c_void_p, c.c_float, c.c_float, c.c_float]
+    lib.camera_process_keyboard.argtypes = [c.c_void_p, c.c_int, c.c_float]
+    lib.camera_process_mouse.argtypes = [c.c_void_p, c.c_float, c.c_float,
+                                         c.c_bool]
+    lib.camera_process_scroll.argtypes = [c.c_void_p, c.c_float]
+    lib.get_camera_zoom.restype = c.c_float
+    lib.get_camera_zoom.argtypes = [c.c_void_p]
+    lib.set_supersampling.argtypes = [c.c_void_p, c.c_int]
     lib.is_visible.restype = c.c_bool
     lib.is_visible.argtypes = [c.c_void_p]
     lib.hide_window.argtypes = [c.c_void_p]
@@ -101,18 +114,18 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _load_terrain_texture(step: int, shape):
-    """Per-vertex colors from the terrain texture asset (None if absent)."""
+def _load_terrain_texture():
+    """Full-resolution terrain texture from the asset (None if absent).
+    Sampled bilinearly per fragment by the rasterizer — the equivalent of
+    the reference's GL_LINEAR terrain_texture.png (model.cpp:225-296) — so
+    texture detail is independent of the mesh decimation step."""
     asset = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "..", "assets", "terrain.npz")
     try:
         with np.load(asset) as z:
             if "tex_raw" not in z.files:
                 return None
-            tex = z["tex_raw"][::step, ::step, :3].astype(np.float32) / 255.0
-        if tex.shape[:2] != tuple(shape):
-            return None
-        return tex
+            return z["tex_raw"][:, :, :3].astype(np.float32) / 255.0
     except Exception:
         return None
 
@@ -176,13 +189,20 @@ class Renderer:
                              ew_size_m: float, texture_rgb=None):
         """Terrain mesh straight from the heightmap (meters) — replaces the
         reference's assimp terrain.obj load with the actual physics terrain.
-        `texture_rgb`: optional (H, W, 3) float [0,1] per-vertex colors."""
+        `texture_rgb`: optional (TH, TW, 3) float [0,1] texture, sampled
+        bilinearly per fragment (same-shape-as-mesh arrays still work as
+        per-vertex colors via the legacy entry point)."""
         hmap_m = np.ascontiguousarray(hmap_m, np.float32)
         if texture_rgb is not None:
             tex = np.ascontiguousarray(texture_rgb, np.float32)
-            return self._lib.create_terrain_model_textured(
-                hmap_m, tex, hmap_m.shape[0], hmap_m.shape[1],
-                float(ns_size_m), float(ew_size_m), 1.0)
+            if tex.shape[:2] == hmap_m.shape:
+                return self._lib.create_terrain_model_textured(
+                    hmap_m, tex, hmap_m.shape[0], hmap_m.shape[1],
+                    float(ns_size_m), float(ew_size_m), 1.0)
+            return self._lib.create_terrain_model_textured2(
+                hmap_m, hmap_m.shape[0], hmap_m.shape[1],
+                float(ns_size_m), float(ew_size_m), 1.0,
+                tex, tex.shape[0], tex.shape[1])
         return self._lib.create_terrain_model(
             hmap_m, hmap_m.shape[0], hmap_m.shape[1],
             float(ns_size_m), float(ew_size_m), 1.0)
@@ -221,6 +241,28 @@ class Renderer:
 
     def look_at(self, x, y, z):
         self._lib.set_camera_look_at(self.camera, x, -z, y)
+
+    # fly-camera input surface (reference camera.cpp:39-96, fed by the GLFW
+    # callbacks in gWindow.cpp:260-309; here events come from the caller —
+    # notebook widget, video-path scripter, etc.)
+    CAM_FORWARD, CAM_BACKWARD, CAM_LEFT, CAM_RIGHT = 0, 1, 2, 3
+    CAM_UP, CAM_DOWN, CAM_BOOST = 4, 5, 6
+
+    def process_keyboard(self, direction: int, dt: float):
+        self._lib.camera_process_keyboard(self.camera, direction, dt)
+
+    def process_mouse(self, dx: float, dy: float, constrain_pitch=True):
+        self._lib.camera_process_mouse(self.camera, dx, dy, constrain_pitch)
+
+    def process_scroll(self, dy: float):
+        self._lib.camera_process_scroll(self.camera, dy)
+
+    def get_zoom(self) -> float:
+        return self._lib.get_camera_zoom(self.camera)
+
+    def set_supersampling(self, factor: int):
+        """SSAA factor: 1 = off, 2 (default) ~= the reference's 4x MSAA."""
+        self._lib.set_supersampling(self.window, factor)
 
     def coord_from_graphics_to_ned(self, x, y, z):
         return x, z, -y
@@ -262,7 +304,10 @@ class NativeRenderer:
                  terrain_res: int = 256):
         self.env = core_env
         self.renderer = Renderer(width, height)
-        self.renderer.set_fps(50.0)
+        # No FPS cap in headless rgb_array use: frames are produced at sim
+        # pace. Callers wanting realtime pacing (interactive viewing) opt in
+        # with renderer.set_fps(50.0) — the preciseSleep throttle is
+        # implemented (softrender.cpp::precise_sleep, gWindow.cpp:193-221).
 
         hmap_ft = np.asarray(core_env.terrain.hmap)
         step = max(1, hmap_ft.shape[0] // terrain_res)
@@ -270,7 +315,7 @@ class NativeRenderer:
         self.terrain = self.renderer.create_terrain_model(
             hmap_m, core_env.terrain.ns_max * FT2MTR,
             core_env.terrain.ew_max * FT2MTR,
-            texture_rgb=_load_terrain_texture(step, hmap_m.shape))
+            texture_rgb=_load_terrain_texture())
         self.renderer.add_permanent_object_to_window(self.terrain)
 
         self.heli_obj = self.renderer.create_model("procedural://heli")
