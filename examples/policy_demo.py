@@ -35,7 +35,9 @@ def main():
 
     es, obs = env.reset(jax.random.PRNGKey(42))
     step = jax.jit(env.step)
-    policy = jax.jit(lambda o: learner.policy(ts.params, o[None])[0])
+    policy = jax.jit(lambda o: learner.policy(
+        ts.params, o[None],
+        obs_stats=ts.obs_stats if learner.config.obs_norm else None)[0])
 
     renderer = get_renderer(env)
     frames, rewards = [], []

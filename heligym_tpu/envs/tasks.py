@@ -353,10 +353,14 @@ class MixedTask(Task):
         if task_id is None:
             return self.tasks[0].reward(norm, state, dots)
         reward = jnp.zeros_like(state.vi_mr)
-        success = jnp.zeros_like(state.vi_mr, dtype=bool)
+        # Carry the success selection in float and compare once at the end:
+        # a bool-operand `where` chain lowers to an i8->i1 vector truncation
+        # that Mosaic rejects ("Unsupported target bitwidth for truncation"),
+        # while mask->float casts and float selects legalize fine.
+        success_f = jnp.zeros_like(state.vi_mr)
         for i, t in enumerate(self.tasks):
             r_i, s_i = t.reward(norm, state, dots)
             sel = task_id == i
             reward = jnp.where(sel, r_i, reward)
-            success = jnp.where(sel, s_i, success)
-        return reward, success
+            success_f = jnp.where(sel, s_i.astype(reward.dtype), success_f)
+        return reward, success_f > 0.5

@@ -42,6 +42,35 @@ class PPOConfig:
     # Collect rollouts through the fused Pallas step kernel (2-3x faster on
     # real TPUs; automatically interpreted on CPU backends).
     use_fused_rollout: bool = True
+    # Running mean/var observation normalization (on top of the fixed
+    # physical scales), updated from each rollout, frozen within an update.
+    obs_norm: bool = True
+    # Linear decay horizon (in updates) for lr and entropy coefficient down
+    # to `anneal_floor` of their base values; 0 disables the schedules.
+    anneal_updates: int = 0
+    anneal_floor: float = 0.05
+    # Epoch minibatch shuffle: "perm" = full random permutation (default —
+    # measurably steadier learning), "roll" = random circular shift (two
+    # slices + concat, 1.64x faster per update but time-env-adjacent
+    # minibatches destabilize late training). A/B on hover:
+    # benchmarks/shuffle_ab.json.
+    shuffle: str = "perm"
+
+
+@struct.dataclass
+class ObsStats:
+    """Running statistics of the SCALED observation (after the fixed
+    physical normalizers), Chan/Welford-merged per rollout. `count` is
+    capped so late batches keep a floor weight (EMA-like tail)."""
+    mean: jnp.ndarray     # (17,)
+    var: jnp.ndarray      # (17,)
+    count: jnp.ndarray    # () f32
+
+    @classmethod
+    def init(cls):
+        return cls(mean=jnp.zeros(17, jnp.float32),
+                   var=jnp.ones(17, jnp.float32),
+                   count=jnp.float32(1e-4))
 
 
 @struct.dataclass
@@ -51,6 +80,7 @@ class TrainState:
     env_state: EnvState
     key: jax.Array
     update_count: jnp.ndarray
+    obs_stats: ObsStats
 
 
 @struct.dataclass
@@ -67,6 +97,9 @@ class Transition:
     terminated: jnp.ndarray
     truncated: jnp.ndarray
     v_boot: jnp.ndarray      # V(pre-reset next obs), current params
+    # crash/OOB flag per transition — terminated & ~failed == env success
+    # (envs/env.py:292); metrics only, unused by GAE/loss.
+    failed: jnp.ndarray
 
 
 class PPOLearner:
@@ -79,17 +112,28 @@ class PPOLearner:
         self.mesh = mesh or make_env_mesh()
         self.venv = VectorHeliEnv(env, config.num_envs, auto_reset=True)
         self.network = ActorCritic(action_dim=4, hidden=config.hidden)
+        # adam split into scale_by_adam + a manual -lr*update so the learning
+        # rate can be a traced schedule value inside the jitted train step
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr))
+            optax.scale_by_adam())
         self._scales = jnp.asarray(obs_scales(env.params))
         self._train_step = None
         self._fused_rollout = None
 
     # ------------------------------------------------------------- setup
-    def init(self, key, trim_cond: Optional[dict] = None) -> TrainState:
+    def init(self, key, trim_cond: Optional[dict] = None,
+             cond_sampler=None, task_ids=None) -> TrainState:
+        """`cond_sampler(key, n) -> batched trim-cond dict` switches the farm
+        to per-env randomized initial conditions (on-device batched Newton
+        trim); `task_ids` (num_envs,) assigns MixedTask sub-tasks per env."""
         k_net, k_env, k_run = jax.random.split(key, 3)
-        es, obs = self.venv.reset(k_run, trim_cond)
+        if cond_sampler is not None:
+            es, obs = self.venv.reset_randomized(k_run, cond_sampler)
+        else:
+            es, obs = self.venv.reset(k_run, trim_cond)
+        if task_ids is not None:
+            es = self.venv.assign_tasks(es, task_ids)
         params = self.network.init(k_net, self._norm(obs[:1]))
         opt_state = self.tx.init(params)
         sh_env = env_sharding(self.mesh)
@@ -98,15 +142,47 @@ class PPOLearner:
                         opt_state=jax.device_put(opt_state, rep),
                         env_state=jax.device_put(es, sh_env),
                         key=jax.device_put(k_env, rep),
-                        update_count=jnp.zeros((), jnp.int32))
+                        update_count=jnp.zeros((), jnp.int32),
+                        obs_stats=jax.device_put(ObsStats.init(), rep))
         return ts
 
-    def _norm(self, obs):
-        return obs / self._scales
+    def _norm(self, obs, stats: Optional[ObsStats] = None):
+        """Fixed physical scaling, then (optionally) running standardization.
+        Collection and the loss must use the SAME stats snapshot — log-probs
+        are only comparable under one normalization.
 
-    def policy(self, params, obs, key=None):
+        The scaled obs is sanitized and clipped: a blowing-up env can emit
+        obs up to ~1e30 BEFORE the non-finite failsafe terminates it
+        (envs/env.py:287), and a single such row in a training batch NaNs the
+        whole update (observed: params dead at update 16 of hover training).
+        Sane data lives in O(1) scaled units; +-50 only clips garbage."""
+        x = obs / self._scales
+        x = jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=50.0, neginf=-50.0),
+                     -50.0, 50.0)
+        if stats is not None:
+            x = jnp.clip((x - stats.mean) * jax.lax.rsqrt(stats.var + 1e-8),
+                         -10.0, 10.0)
+        return x
+
+    def _merge_stats(self, stats: ObsStats, obs) -> ObsStats:
+        """Chan parallel merge of one rollout's scaled-obs statistics into the
+        running stats. Non-finite obs (blowup steps) are zeroed out of the
+        batch rather than poisoning the stats."""
+        x = obs.reshape(-1, obs.shape[-1]) / self._scales
+        x = jnp.clip(jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0),
+                     -50.0, 50.0)
+        nb = jnp.float32(x.shape[0])
+        mb, vb = x.mean(0), x.var(0)
+        n = stats.count + nb
+        delta = mb - stats.mean
+        mean = stats.mean + delta * (nb / n)
+        m2 = stats.var * stats.count + vb * nb + delta * delta * (stats.count * nb / n)
+        # cap the count so fresh data keeps a floor weight (EMA-like tail)
+        return ObsStats(mean=mean, var=m2 / n, count=jnp.minimum(n, 5e6))
+
+    def policy(self, params, obs, key=None, obs_stats: Optional[ObsStats] = None):
         """Stochastic policy head; deterministic (mean) when key is None."""
-        mean, log_std, _ = self.network.apply(params, self._norm(obs))
+        mean, log_std, _ = self.network.apply(params, self._norm(obs, obs_stats))
         if key is None:
             return jnp.clip(mean, -1.0, 1.0)
         noise = jax.random.normal(key, mean.shape)
@@ -115,10 +191,12 @@ class PPOLearner:
     # ------------------------------------------------------------ rollout
     def _policy_fn(self, fold_axis: Optional[str] = None):
         def policy_fn(p, obs, key_t):
+            params, stats = p   # stats: ObsStats or None (cfg.obs_norm off)
             if fold_axis is not None:
                 # decorrelate action noise across mesh shards
                 key_t = jax.random.fold_in(key_t, jax.lax.axis_index(fold_axis))
-            mean, log_std, value = self.network.apply(p, self._norm(obs))
+            mean, log_std, value = self.network.apply(params,
+                                                      self._norm(obs, stats))
             noise = jax.random.normal(key_t, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
@@ -154,40 +232,43 @@ class PPOLearner:
                       "reward": P(None, ENV_AXIS),
                       "terminated": P(None, ENV_AXIS),
                       "truncated": P(None, ENV_AXIS),
+                      "failed": P(None, ENV_AXIS),
                       "final_obs": P(None, ENV_AXIS, None)}
         return jax.shard_map(inner, mesh=self.mesh,
                              in_specs=(sh, P(), P(), hm),
                              out_specs=(sh, traj_specs), check_vma=False)
 
-    def _collect_fused(self, params, es: EnvState, key, hmap):
+    def _collect_fused(self, params, stats, es: EnvState, key, hmap):
         """Rollout through the fused Pallas step kernel: policy matmuls in
         XLA (MXU), physics in one Mosaic kernel per step (per device shard
         on multi-device meshes)."""
         if self._fused_rollout is None:
             self._fused_rollout = self._build_fused_rollout()
-        es, traj = self._fused_rollout(es, params, key, hmap)
+        es, traj = self._fused_rollout(es, (params, stats), key, hmap)
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
                           -100.0, 100.0)
-        v_boot = self._value_of(params, traj["final_obs"])
+        v_boot = self._value_of(params, stats, traj["final_obs"])
         out = Transition(obs=traj["obs"], action=traj["raw_action"],
                          log_prob=traj["log_prob"], value=traj["value"],
                          reward=reward,
                          terminated=traj["terminated"].astype(jnp.float32),
                          truncated=traj["truncated"].astype(jnp.float32),
-                         v_boot=v_boot)
+                         v_boot=v_boot,
+                         failed=traj["failed"].astype(jnp.float32))
         return es, key, out
 
-    def _value_of(self, params, obs):
+    def _value_of(self, params, stats, obs):
         """Value head over arbitrary leading dims (one batched apply)."""
-        _, _, value = self.network.apply(params, self._norm(obs))
+        _, _, value = self.network.apply(params, self._norm(obs, stats))
         return value
 
-    def _collect(self, params, es: EnvState, key, hmap):
+    def _collect(self, params, stats, es: EnvState, key, hmap):
         def scan_step(carry, _):
             es, key = carry
             key, k_act = jax.random.split(key)
-            mean, log_std, value = self.network.apply(params, self._norm(es.obs))
+            mean, log_std, value = self.network.apply(params,
+                                                      self._norm(es.obs, stats))
             noise = jax.random.normal(k_act, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
@@ -206,14 +287,15 @@ class PPOLearner:
                             value=value, reward=reward,
                             terminated=out.done.astype(jnp.float32),
                             truncated=out.truncated.astype(jnp.float32),
-                            v_boot=jnp.zeros_like(value))
+                            v_boot=jnp.zeros_like(value),
+                            failed=out.failed.astype(jnp.float32))
             return (new_es, key), (tr, final_obs)
 
         (es, key), (traj, final_obs) = jax.lax.scan(
             scan_step, (es, key), None, length=self.config.rollout_steps)
         # One batched value apply over every step's pre-reset next obs: equals
         # V(s_{t+1}) on ordinary steps and the truncation bootstrap otherwise.
-        traj = traj.replace(v_boot=self._value_of(params, final_obs))
+        traj = traj.replace(v_boot=self._value_of(params, stats, final_obs))
         return es, key, traj
 
     def _gae(self, traj: Transition):
@@ -225,7 +307,11 @@ class PPOLearner:
         def scan_back(gae, tr):
             not_term = 1.0 - tr.terminated
             not_reset = not_term * (1.0 - tr.truncated)
-            delta = tr.reward + cfg.gamma * tr.v_boot * not_term - tr.value
+            # select, don't multiply: v_boot at a terminated blowup step is
+            # V(non-finite obs) = NaN, and NaN * 0 = NaN would poison the
+            # whole GAE scan (the _norm clip bounds it too; double-guarded)
+            boot = jnp.where(tr.terminated > 0, 0.0, tr.v_boot)
+            delta = tr.reward + cfg.gamma * boot - tr.value
             gae = delta + cfg.gamma * cfg.gae_lambda * not_reset * gae
             return gae, gae
 
@@ -235,9 +321,10 @@ class PPOLearner:
         return advantages, returns
 
     # ------------------------------------------------------------- update
-    def _loss(self, params, batch, advantages, returns):
+    def _loss(self, params, batch, advantages, returns, stats, ent_coef):
         cfg = self.config
-        mean, log_std, value = self.network.apply(params, self._norm(batch.obs))
+        mean, log_std, value = self.network.apply(params,
+                                                  self._norm(batch.obs, stats))
         log_prob = gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(log_prob - batch.log_prob)
         adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
@@ -249,24 +336,32 @@ class PPOLearner:
         v_loss = 0.5 * jnp.maximum((value - returns) ** 2,
                                    (v_clipped - returns) ** 2).mean()
         ent = gaussian_entropy(log_std).mean()
-        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+        total = pg_loss + cfg.vf_coef * v_loss - ent_coef * ent
         return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
                        "approx_kl": ((ratio - 1.0) - jnp.log(ratio)).mean()}
 
-    def _update_epoch(self, carry, _):
+    def _update_epoch(self, carry, _, stats, ent_coef, lr):
         params, opt_state, key, flat, advantages, returns = carry
         cfg = self.config
         n = advantages.shape[0]
         key, k_shift = jax.random.split(key)
-        # Epoch shuffle via a random circular shift instead of a full random
-        # permutation: a 65k-element permutation gather costs ~100x the actual
-        # gradient math on TPU. The rollout layout (time x envs) is already
-        # uncorrelated with minibatch position; the roll re-partitions
-        # minibatch membership every epoch with two slices + concat.
-        shift = jax.random.randint(k_shift, (), 0, n)
-        rolled = jax.tree_util.tree_map(
-            lambda x: jnp.roll(x, shift, axis=0), (flat, advantages, returns))
-        flat_r, adv_r, ret_r = rolled
+        if cfg.shuffle == "perm":
+            # full random permutation — statistically ideal minibatches at
+            # the cost of a whole-batch gather (A/B vs "roll":
+            # benchmarks/shuffle_ab.json)
+            idx = jax.random.permutation(k_shift, n)
+            mix = lambda x: jnp.take(x, idx, axis=0)
+        else:
+            # Epoch shuffle via a random circular shift instead of a full
+            # random permutation: a 65k-element permutation gather costs
+            # ~100x the actual gradient math on TPU. The rollout layout
+            # (time x envs) is already uncorrelated with minibatch position;
+            # the roll re-partitions minibatch membership every epoch with
+            # two slices + concat.
+            shift = jax.random.randint(k_shift, (), 0, n)
+            mix = lambda x: jnp.roll(x, shift, axis=0)
+        flat_r, adv_r, ret_r = jax.tree_util.tree_map(
+            mix, (flat, advantages, returns))
         mb = n // cfg.minibatches
 
         def mb_step(carry, i):
@@ -274,8 +369,10 @@ class PPOLearner:
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb)
             batch = jax.tree_util.tree_map(sl, flat_r)
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, batch, sl(adv_r), sl(ret_r))
+                params, batch, sl(adv_r), sl(ret_r), stats, ent_coef)
             updates, opt_state = self.tx.update(grads, opt_state, params)
+            # scale_by_adam + manual -lr: exactly adam(lr) with a traced lr
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), {"loss": loss, **aux}
 
@@ -303,7 +400,17 @@ class PPOLearner:
 
         def _step(ts: TrainState, hmap):
             key, k_roll, k_upd = jax.random.split(ts.key, 3)
-            es, _, traj = collect(ts.params, ts.env_state, k_roll, hmap)
+            stats = ts.obs_stats if cfg.obs_norm else None
+            # lr / entropy linear decay by update count (0 = constant)
+            if cfg.anneal_updates > 0:
+                frac = jnp.clip(1.0 - ts.update_count.astype(jnp.float32)
+                                / float(cfg.anneal_updates),
+                                cfg.anneal_floor, 1.0)
+            else:
+                frac = jnp.float32(1.0)
+            lr_t, ent_t = cfg.lr * frac, cfg.ent_coef * frac
+
+            es, _, traj = collect(ts.params, stats, ts.env_state, k_roll, hmap)
             advantages, returns = self._gae(traj)
             # (T, B, ...) -> (T*B, ...)
             flat = jax.tree_util.tree_map(
@@ -311,21 +418,32 @@ class PPOLearner:
             adv_f = advantages.reshape(-1)
             ret_f = returns.reshape(-1)
             carry = (ts.params, ts.opt_state, k_upd, flat, adv_f, ret_f)
-            carry, metrics = jax.lax.scan(self._update_epoch, carry, None,
-                                          length=cfg.epochs)
+            carry, metrics = jax.lax.scan(
+                lambda c, x: self._update_epoch(c, x, stats, ent_t, lr_t),
+                carry, None, length=cfg.epochs)
             params, opt_state = carry[0], carry[1]
             metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
             metrics["reward_mean"] = traj.reward.mean()
-            metrics["done_frac"] = jnp.maximum(traj.terminated,
-                                               traj.truncated).mean()
+            ended = jnp.maximum(traj.terminated, traj.truncated)
+            n_ep = jnp.maximum(ended.sum(), 1.0)
+            metrics["done_frac"] = ended.mean()
+            # terminated & ~failed == the env's success criterion fired
+            # (accumulated in-tolerance time >= max_time/4, envs/env.py:283)
+            metrics["success_ep_frac"] = (
+                traj.terminated * (1.0 - traj.failed)).sum() / n_ep
+            metrics["fail_ep_frac"] = traj.failed.sum() / n_ep
+            metrics["lr"] = lr_t
+            new_stats = (self._merge_stats(ts.obs_stats, traj.obs)
+                         if cfg.obs_norm else ts.obs_stats)
             new_ts = TrainState(params=params, opt_state=opt_state,
                                 env_state=es, key=key,
-                                update_count=ts.update_count + 1)
+                                update_count=ts.update_count + 1,
+                                obs_stats=new_stats)
             return new_ts, metrics
 
         state_shardings = TrainState(
             params=rep, opt_state=rep, env_state=sh_env, key=rep,
-            update_count=rep)
+            update_count=rep, obs_stats=rep)
         jitted = jax.jit(
             _step,
             in_shardings=(state_shardings, rep),
@@ -353,10 +471,12 @@ class PPOLearner:
     # ----------------------------------------------------------- training
     def train(self, key, num_updates: int, log_every: int = 10,
               trim_cond: Optional[dict] = None,
+              cond_sampler=None, task_ids=None,
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 100,
               resume_from: Optional[str] = None):
-        ts = self.init(key, trim_cond)
+        ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
+                       task_ids=task_ids)
         if resume_from:
             ts = self.restore(resume_from, ts)
         step = self.train_step_fn()
@@ -368,7 +488,9 @@ class PPOLearner:
                 m["update"] = i + 1
                 history.append(m)
                 print(f"update {i+1}: reward={m['reward_mean']:.4f} "
-                      f"loss={m['loss']:.4f} kl={m['approx_kl']:.4f}")
+                      f"loss={m['loss']:.4f} kl={m['approx_kl']:.4f} "
+                      f"success_ep={m['success_ep_frac']:.3f} "
+                      f"fail_ep={m['fail_ep_frac']:.3f}", flush=True)
             if checkpoint_path and (i + 1) % checkpoint_every == 0:
                 self.save(checkpoint_path, ts)
         if checkpoint_path:

@@ -1,7 +1,16 @@
-"""CLI training entry point: PPO on a sharded hover/forward/oblique env farm.
+"""CLI training entry point: PPO on a sharded env farm.
 
 Usage:
     python -m heligym_tpu.learner.train --task hover --num-envs 1024 --updates 200
+    python -m heligym_tpu.learner.train --tasks hover,landing --num-envs 2048
+    python -m heligym_tpu.learner.train --task hover --randomized-resets
+
+`--tasks a,b,...` trains one task-conditioned policy on a MixedTask batch
+(per-env i32 task ids, round-robin assigned; envs/tasks.py::MixedTask).
+`--randomized-resets` draws per-env initial conditions (yaw/speed/altitude/
+position) through the on-device batched Newton trim at farm reset
+(SURVEY.md §7 hard part 5); episode auto-resets return each env to its OWN
+snapshot.
 """
 from __future__ import annotations
 
@@ -10,10 +19,13 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..envs import HeliEnv
 from ..envs.tasks import (ForwardFlightTask, HoverTask, LandingTask,
-                          ObliqueFlightTask, SlalomTask, TurningFlightTask)
+                          MixedTask, ObliqueFlightTask, SlalomTask,
+                          TurningFlightTask)
 from .ppo import PPOConfig, PPOLearner
 
 TASKS = {"hover": HoverTask, "forward": ForwardFlightTask,
@@ -21,14 +33,76 @@ TASKS = {"hover": HoverTask, "forward": ForwardFlightTask,
          "slalom": SlalomTask, "landing": LandingTask}
 
 
+def default_cond_sampler(key, n):
+    """Randomized trim conditions: heading anywhere, gentle forward speed,
+    broad altitude band, positions across the middle third of the map."""
+    ks = jax.random.split(key, 5)
+    yaw = jax.random.uniform(ks[0], (n,), minval=-jnp.pi, maxval=jnp.pi)
+    speed = jax.random.uniform(ks[1], (n,), minval=0.0, maxval=50.0)
+    ned_vel = jnp.stack([speed * jnp.cos(yaw), speed * jnp.sin(yaw),
+                         jnp.zeros_like(speed)], axis=-1)
+    gr_alt = jax.random.uniform(ks[2], (n,), minval=50.0, maxval=2000.0)
+    xy = jax.random.uniform(ks[3], (n, 2), minval=-3000.0, maxval=3000.0)
+    psi = jax.random.uniform(ks[4], (n, 2), minval=0.0, maxval=2 * jnp.pi)
+    return {"yaw": yaw, "yaw_rate": jnp.zeros(n), "ned_vel": ned_vel,
+            "gr_alt": gr_alt, "xy": xy, "psi_mr": psi[:, 0],
+            "psi_tr": psi[:, 1]}
+
+
+def _parse_target(spec: str, env) -> dict:
+    """'k=v,...' task-target overrides; the value 'start' resolves to the
+    default trim condition's start altitude (terrain + gear touch + 100 ft
+    gr_alt), computed on the host CPU (eager TPU ops are ~0.4 s each through
+    the tunnel — see CLAUDE.md)."""
+    from ..ops import terrain as terrain_ops
+    updates = {}
+    for kv in spec.split(","):
+        k, v = (s.strip() for s in kv.split("="))
+        if v == "start":
+            cpu = jax.local_devices(backend="cpu")[0]
+            env_cpu = env.to_backend("cpu")
+            with jax.default_device(cpu):
+                val = float(jax.jit(lambda x, y: terrain_ops.ground_touching_altitude(
+                    env_cpu.params, env_cpu.terrain, x, y))(
+                    jnp.float32(0.0), jnp.float32(0.0))) + 100.0
+        else:
+            val = float(v)
+        updates[k] = val
+    return updates
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=sorted(TASKS), default="hover")
+    ap.add_argument("--tasks", default=None,
+                    help="comma list -> one task-conditioned MixedTask policy "
+                         "(overrides --task), e.g. 'hover,landing'")
     ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--rollout-steps", type=int, default=64)
     ap.add_argument("--updates", type=int, default=100)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--ent-coef", type=float, default=1e-3)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--minibatches", type=int, default=8)
+    ap.add_argument("--anneal", type=int, default=0,
+                    help="linear lr/entropy decay horizon in updates "
+                         "(0 = constant)")
+    ap.add_argument("--shuffle", choices=("roll", "perm"), default="perm",
+                    help="epoch minibatch shuffle (A/B: benchmarks/"
+                         "shuffle_ab.json; roll is 1.64x faster, perm learns "
+                         "steadier)")
+    ap.add_argument("--no-obs-norm", action="store_true",
+                    help="disable running-stat observation normalization")
+    ap.add_argument("--randomized-resets", action="store_true",
+                    help="per-env randomized initial trim conditions")
+    ap.add_argument("--target", default=None,
+                    help="task target override, 'k=v,...' (the CLI face of "
+                         "the reference's set_target, helicopter.py:100-106) "
+                         "e.g. --target sea_alt=1640. 'start' for sea_alt "
+                         "resolves to the trim start altitude.")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-out", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="path to save (and periodically update) the full "
@@ -37,23 +111,47 @@ def main(argv=None):
                     help="path of a checkpoint to resume from")
     args = ap.parse_args(argv)
 
-    env = HeliEnv.build("aw109", task=TASKS[args.task]())
+    task_ids = None
+    if args.tasks:
+        names = [s.strip() for s in args.tasks.split(",") if s.strip()]
+        task = MixedTask(tasks=tuple(TASKS[n]() for n in names))
+        task_ids = np.arange(args.num_envs) % len(names)
+        label = "+".join(names)
+    else:
+        task = TASKS[args.task]()
+        label = args.task
+
+    env = HeliEnv.build("aw109", task=task)
+    if args.target:
+        if args.tasks:
+            ap.error("--target applies to --task mode only")
+        task = task.with_target(**_parse_target(args.target, env))
+        env = env.replace(task=task)
+        label += f"@{task.target_dict()}"
     cfg = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
-                    lr=args.lr)
+                    lr=args.lr, gamma=args.gamma, ent_coef=args.ent_coef,
+                    epochs=args.epochs, minibatches=args.minibatches,
+                    anneal_updates=args.anneal, shuffle=args.shuffle,
+                    obs_norm=not args.no_obs_norm)
     learner = PPOLearner(env, cfg)
-    print(f"devices: {jax.devices()}  envs: {cfg.num_envs}  "
-          f"steps/update: {cfg.num_envs * cfg.rollout_steps}")
+    print(f"devices: {jax.devices()}  task: {label}  envs: {cfg.num_envs}  "
+          f"steps/update: {cfg.num_envs * cfg.rollout_steps}  "
+          f"fused: {learner.train_step_uses_fused()}", flush=True)
     t0 = time.time()
-    ts, history = learner.train(jax.random.PRNGKey(args.seed), args.updates,
-                                checkpoint_path=args.checkpoint,
-                                resume_from=args.resume)
+    ts, history = learner.train(
+        jax.random.PRNGKey(args.seed), args.updates,
+        log_every=args.log_every,
+        cond_sampler=default_cond_sampler if args.randomized_resets else None,
+        task_ids=task_ids,
+        checkpoint_path=args.checkpoint,
+        resume_from=args.resume)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
           f"({total_steps / dt:.0f} steps/s incl. learner)")
     if args.metrics_out:
         with open(args.metrics_out, "w") as f:
-            json.dump(history, f)
+            json.dump({"config": vars(args), "history": history}, f)
 
 
 if __name__ == "__main__":

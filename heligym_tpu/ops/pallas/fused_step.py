@@ -403,6 +403,7 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
             outs = {"obs": obs, "action": actions, "reward": info["reward"],
                     "terminated": info["done_prev"],
                     "truncated": info["trunc_prev"],
+                    "failed": info["failed_prev"],
                     "final_obs": info["final_obs"].T, **aux}
             return carry, outs
 
@@ -411,6 +412,7 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
         carry, flags = epilogue(carry, init, hmap)
         traj["terminated"] = _shifted(traj["terminated"], flags["done"])
         traj["truncated"] = _shifted(traj["truncated"], flags["truncated"])
+        traj["failed"] = _shifted(traj["failed"], flags["failed"])
         es = unpack(es, carry).replace(key=keys)
         return es, traj
 

@@ -41,6 +41,10 @@ def test_mixed_rewards_match_per_task(hover_env, hover_trim):
 
 
 def test_mixed_through_fused_rollout(hover_env, hover_trim):
+    """Identical injected Dryden noise through both paths (the production
+    fused path pre-draws its noise per rollout, so LIVE streams differ by
+    design — see fused_step.py noise design v2); what is under test here is
+    the per-env task_id reward selection inside the kernel."""
     env = _mixed_env(hover_env)
     B, STEPS = 128, 10
     venv = VectorHeliEnv(env, B)
@@ -48,14 +52,24 @@ def test_mixed_through_fused_rollout(hover_env, hover_trim):
     task_ids = jnp.arange(B) % 2
     es = venv.assign_tasks(es, task_ids)
     acts = jnp.tile(jnp.asarray(hover_trim.action), (B, 1))
+    eta_seq = (jax.random.normal(jax.random.PRNGKey(3), (STEPS, 3, B))
+               * (1.0 / env.dt) ** 0.5)
 
-    roll = jax.jit(build_fused_rollout(env, B, STEPS, collect=("reward",)))
-    es_f, outs = roll(es, acts)
+    roll = jax.jit(build_fused_rollout(env, B, STEPS, collect=("reward",),
+                                       eta_mode="inject"))
+    es_f, outs = roll(es, acts, eta_seq)
     fused_rewards = np.asarray(outs["reward"])
 
+    from heligym_tpu.envs.vector import auto_reset as do_reset
+
+    @jax.jit
+    def unfused_step(es, eta):
+        new_es, out = jax.vmap(env.step_with_eta)(es, acts, eta.T)
+        return do_reset(new_es, out)
+
     es_u = es
-    for _ in range(STEPS):
-        es_u, out = venv.step(es_u, acts)
+    for t in range(STEPS):
+        es_u, out = unfused_step(es_u, eta_seq[t])
     np.testing.assert_allclose(fused_rewards[-1], np.asarray(out.reward),
                                atol=2e-5)
     # the two task populations genuinely get different rewards
