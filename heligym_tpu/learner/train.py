@@ -123,11 +123,17 @@ def main(argv=None):
 
     env = HeliEnv.build("aw109", task=task)
     if args.target:
+        updates = _parse_target(args.target, env)
         if args.tasks:
-            ap.error("--target applies to --task mode only")
-        task = task.with_target(**_parse_target(args.target, env))
+            # apply each key to the sub-tasks that carry that target field
+            subs = tuple(t.with_target(**{k: v for k, v in updates.items()
+                                          if k in t.target_dict()})
+                         for t in task.tasks)
+            task = MixedTask(tasks=subs)
+        else:
+            task = task.with_target(**updates)
         env = env.replace(task=task)
-        label += f"@{task.target_dict()}"
+        label += f"@{args.target}"
     cfg = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
                     lr=args.lr, gamma=args.gamma, ent_coef=args.ent_coef,
                     epochs=args.epochs, minibatches=args.minibatches,
