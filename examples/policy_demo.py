@@ -2,17 +2,20 @@
 """Roll out a trained PPO policy and render it with the native rasterizer.
 
     python examples/policy_demo.py --checkpoint examples/hover_policy.npz \
-        --out examples/hover_policy.gif
+        --out examples/hover_policy.gif --task hover --target sea_alt=start
+
+--task/--target must match the checkpoint's training invocation so the
+reported reward/success reflect the objective the policy was trained on
+(the policy network itself is target-agnostic: targets live in the reward).
 """
 import argparse
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from heligym_tpu.envs import HeliEnv
-from heligym_tpu.envs.tasks import HoverTask
 from heligym_tpu.learner import PPOConfig, PPOLearner
+from heligym_tpu.learner.train import TASKS, _parse_target
 from heligym_tpu.parallel import make_env_mesh
 from heligym_tpu.render import get_renderer
 
@@ -21,13 +24,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="examples/hover_policy.npz")
     ap.add_argument("--out", default="examples/hover_policy.gif")
+    ap.add_argument("--task", choices=sorted(TASKS), default="hover")
+    ap.add_argument("--target", default=None,
+                    help="task target override 'k=v,...' (match training)")
     ap.add_argument("--num-envs", type=int, default=2048,
                     help="must match the checkpoint's training config")
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--every", type=int, default=8)
+    ap.add_argument("--camera", choices=("chase", "orbit"), default="chase")
     args = ap.parse_args()
 
-    env = HeliEnv.build("aw109", task=HoverTask())
+    env = HeliEnv.build("aw109", task=TASKS[args.task]())
+    if args.target:
+        env = env.replace(task=env.task.with_target(
+            **_parse_target(args.target, env)))
     learner = PPOLearner(env, PPOConfig(num_envs=args.num_envs),
                         mesh=make_env_mesh(jax.devices()[:1]))
     template = learner.init(jax.random.PRNGKey(0))
@@ -39,24 +49,31 @@ def main():
         ts.params, o[None],
         obs_stats=ts.obs_stats if learner.config.obs_norm else None)[0])
 
-    renderer = get_renderer(env)
+    renderer = get_renderer(env, camera_mode=args.camera,
+                            orbit_frames=args.steps // args.every)
     frames, rewards = [], []
+    succ = False
     for t in range(args.steps):
         act = policy(es.obs)
         es, out = step(es, act)
         rewards.append(float(out.reward))
         if t % args.every == 0:
             frames.append(np.asarray(renderer.render(es)))
+        succ = succ or bool(out.successed)
         if bool(out.done):
-            print(f"episode ended at step {t}")
+            print(f"episode ended at step {t} "
+                  f"(successed={bool(out.successed)}, failed={bool(out.failed)})")
             break
     renderer.close()
 
     import imageio.v2 as imageio
     imageio.mimsave(args.out, frames, duration=0.12, loop=0)
+    succ_s = float(es.successed_steps) * env.dt
     print(f"wrote {args.out}: {len(frames)} frames; "
-          f"mean reward {np.mean(rewards):+.3f}; "
-          f"final alt {float(es.obs[15]):.0f} ft (target 4000)")
+          f"mean reward {np.mean(rewards):+.3f}; successed={succ} "
+          f"(accumulated success time {succ_s:.1f}s / "
+          f"{env.success_duration:.1f}s needed); "
+          f"final alt {float(es.obs[15]):.0f} ft")
 
 
 if __name__ == "__main__":

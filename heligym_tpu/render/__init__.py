@@ -20,8 +20,9 @@ except Exception:  # pragma: no cover - native lib not built yet
     NativeRenderer, native_available = None, lambda: False
 
 
-def get_renderer(core_env, prefer_native: bool = True):
-    """Renderer factory: native rasterizer when built, numpy fallback otherwise."""
+def get_renderer(core_env, prefer_native: bool = True, **native_kwargs):
+    """Renderer factory: native rasterizer when built, numpy fallback otherwise.
+    `native_kwargs` (camera_mode=..., width=...) reach the native renderer."""
     if prefer_native and native_available():
-        return NativeRenderer(core_env)
+        return NativeRenderer(core_env, **native_kwargs)
     return NumpyTopDownRenderer(core_env)

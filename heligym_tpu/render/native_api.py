@@ -9,6 +9,7 @@ window, so `rgb_array` rendering works on display-less TPU hosts.
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import subprocess
 from typing import Optional
@@ -301,8 +302,12 @@ class NativeRenderer:
     ]
 
     def __init__(self, core_env, width: int = 1024, height: int = 768,
-                 terrain_res: int = 256):
+                 terrain_res: int = 256, camera_mode: str = "chase",
+                 orbit_frames: int = 400):
         self.env = core_env
+        self.camera_mode = camera_mode   # "chase" (reference) | "orbit"
+        self.orbit_frames = orbit_frames  # render() calls per full orbit
+        self._frame = 0
         self.renderer = Renderer(width, height)
         # No FPS cap in headless rgb_array use: frames are produced at sim
         # pace. Callers wanting realtime pacing (interactive viewing) opt in
@@ -347,10 +352,18 @@ class NativeRenderer:
         r.translate_model(self.heli_obj, x_m, y_m, z_m)
         r.rotate_model(self.heli_obj, float(euler[0]), float(euler[1]),
                        float(euler[2]))
-        # chase camera 30 m east of the heli (helicopter.py:175-177),
-        # looking at it
-        r.set_camera_pos(x_m, y_m + 30.0, z_m)
+        if self.camera_mode == "orbit":
+            # slow cinematic orbit around the heli (uses the same pose API a
+            # caller-driven fly-cam would; see process_mouse/process_keyboard)
+            ang = 2.0 * math.pi * (self._frame / max(self.orbit_frames, 1))
+            r.set_camera_pos(x_m + 30.0 * math.sin(ang),
+                             y_m + 30.0 * math.cos(ang), z_m - 9.0)
+        else:
+            # chase camera 30 m east of the heli (helicopter.py:175-177),
+            # looking at it
+            r.set_camera_pos(x_m, y_m + 30.0, z_m)
         r.look_at(x_m, y_m, z_m)
+        self._frame += 1
         if not r.is_visible():
             r.show_window()
         r.render()
