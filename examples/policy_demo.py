@@ -32,14 +32,19 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--every", type=int, default=8)
     ap.add_argument("--camera", choices=("chase", "orbit"), default="chase")
+    ap.add_argument("--no-center-actions", action="store_true",
+                    help="checkpoint was trained with absolute (uncentered) "
+                         "actions — must match training")
     args = ap.parse_args()
 
     env = HeliEnv.build("aw109", task=TASKS[args.task]())
     if args.target:
         env = env.replace(task=env.task.with_target(
             **_parse_target(args.target, env)))
-    learner = PPOLearner(env, PPOConfig(num_envs=args.num_envs),
-                        mesh=make_env_mesh(jax.devices()[:1]))
+    learner = PPOLearner(
+        env, PPOConfig(num_envs=args.num_envs,
+                       center_actions=not args.no_center_actions),
+        mesh=make_env_mesh(jax.devices()[:1]))
     template = learner.init(jax.random.PRNGKey(0))
     ts = learner.restore(args.checkpoint, template)
 

@@ -30,9 +30,15 @@ def obs_scales(params) -> np.ndarray:
 
 
 class ActorCritic(nn.Module):
-    """Shared-input, separate-torso Gaussian policy + value function."""
+    """Shared-input, separate-torso Gaussian policy + value function.
+
+    `log_std_init` sets the initial exploration scale: the helicopter is an
+    unstable plant, so exp(-0.5)=0.6 full-range control noise destroys the
+    trim within a second; hover/landing training uses -1.0 to -1.5 so early
+    episodes survive long enough to see the success signal."""
     action_dim: int = 4
     hidden: Sequence[int] = (256, 256)
+    log_std_init: float = -0.5
 
     @nn.compact
     def __call__(self, obs) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -42,7 +48,8 @@ class ActorCritic(nn.Module):
             a = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)))(a))
         mean = nn.Dense(self.action_dim,
                         kernel_init=nn.initializers.orthogonal(0.01))(a)
-        log_std = self.param("log_std", nn.initializers.constant(-0.5),
+        log_std = self.param("log_std",
+                             nn.initializers.constant(self.log_std_init),
                              (self.action_dim,))
         c = x
         for h in self.hidden:

@@ -55,6 +55,30 @@ class PPOConfig:
     # minibatches destabilize late training). A/B on hover:
     # benchmarks/shuffle_ab.json.
     shuffle: str = "perm"
+    # Center executed actions on the nominal hover-trim action: the env runs
+    # clip(trim_action + a) where a ~ N(mean, std) is the learned residual.
+    # A zero-mean absolute policy drops collective/cyclic to mid-range at
+    # init, destroying the trim before any reward signal arrives — measured:
+    # a pure trim-hold already satisfies the hover success criterion at
+    # ~10 s, so a residual policy starts in the success basin instead of
+    # fail_ep≈1.0. Loss/GAE see the raw residual; the bias is part of the
+    # env-side action mapping (like a gym action wrapper). Under randomized
+    # resets the bias stays the NOMINAL condition's trim (per-env trims
+    # differ slightly; the residual absorbs the difference).
+    center_actions: bool = True
+    # Initial log-std of the Gaussian policy (see networks.ActorCritic).
+    log_std_init: float = -0.5
+    # TRAINING-ONLY reward shaping, applied inside GAE (the env's reward and
+    # every reported reward metric stay the reference's). The reference
+    # reward's max(final, terminal) shape pays sustained positive reward for
+    # moving fast toward the target but ~0 for holding it, so naive PPO
+    # learns dive-crash-reset cycles (fail_ep -> 1.0). `success_bonus` is
+    # added per transition the env's own per-step success tolerance held
+    # (exactly the quantity the success criterion accumulates,
+    # envs/env.py:283); `fail_penalty` is subtracted on crash/OOB
+    # transitions. Both default off.
+    success_bonus: float = 0.0
+    fail_penalty: float = 0.0
 
 
 @struct.dataclass
@@ -98,8 +122,11 @@ class Transition:
     truncated: jnp.ndarray
     v_boot: jnp.ndarray      # V(pre-reset next obs), current params
     # crash/OOB flag per transition — terminated & ~failed == env success
-    # (envs/env.py:292); metrics only, unused by GAE/loss.
+    # (envs/env.py:292); metrics + optional fail_penalty shaping.
     failed: jnp.ndarray
+    # per-transition in-tolerance flag (the success-time accumulator's
+    # increment); drives the optional success_bonus shaping + metrics.
+    succ_step: jnp.ndarray
 
 
 class PPOLearner:
@@ -111,7 +138,12 @@ class PPOLearner:
         self.config = config
         self.mesh = mesh or make_env_mesh()
         self.venv = VectorHeliEnv(env, config.num_envs, auto_reset=True)
-        self.network = ActorCritic(action_dim=4, hidden=config.hidden)
+        self.network = ActorCritic(action_dim=4, hidden=config.hidden,
+                                   log_std_init=config.log_std_init)
+        # executed action = clip(act_bias + residual); (4,) f32 constant
+        self.act_bias = (jnp.asarray(env.trim_result().action, jnp.float32)
+                         if config.center_actions
+                         else jnp.zeros(4, jnp.float32))
         # adam split into scale_by_adam + a manual -lr*update so the learning
         # rate can be a traced schedule value inside the jitted train step
         self.tx = optax.chain(
@@ -184,9 +216,10 @@ class PPOLearner:
         """Stochastic policy head; deterministic (mean) when key is None."""
         mean, log_std, _ = self.network.apply(params, self._norm(obs, obs_stats))
         if key is None:
-            return jnp.clip(mean, -1.0, 1.0)
+            return jnp.clip(self.act_bias + mean, -1.0, 1.0)
         noise = jax.random.normal(key, mean.shape)
-        return jnp.clip(mean + jnp.exp(log_std) * noise, -1.0, 1.0)
+        return jnp.clip(self.act_bias + mean + jnp.exp(log_std) * noise,
+                        -1.0, 1.0)
 
     # ------------------------------------------------------------ rollout
     def _policy_fn(self, fold_axis: Optional[str] = None):
@@ -200,7 +233,7 @@ class PPOLearner:
             noise = jax.random.normal(key_t, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
-            return (jnp.clip(action, -1.0, 1.0),
+            return (jnp.clip(self.act_bias + action, -1.0, 1.0),
                     {"raw_action": action, "log_prob": log_prob, "value": value})
         return policy_fn
 
@@ -233,6 +266,7 @@ class PPOLearner:
                       "terminated": P(None, ENV_AXIS),
                       "truncated": P(None, ENV_AXIS),
                       "failed": P(None, ENV_AXIS),
+                      "succ_step": P(None, ENV_AXIS),
                       "final_obs": P(None, ENV_AXIS, None)}
         return jax.shard_map(inner, mesh=self.mesh,
                              in_specs=(sh, P(), P(), hm),
@@ -255,7 +289,8 @@ class PPOLearner:
                          terminated=traj["terminated"].astype(jnp.float32),
                          truncated=traj["truncated"].astype(jnp.float32),
                          v_boot=v_boot,
-                         failed=traj["failed"].astype(jnp.float32))
+                         failed=traj["failed"].astype(jnp.float32),
+                         succ_step=traj["succ_step"].astype(jnp.float32))
         return es, key, out
 
     def _value_of(self, params, stats, obs):
@@ -272,10 +307,14 @@ class PPOLearner:
             noise = jax.random.normal(k_act, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
-            clipped = jnp.clip(action, -1.0, 1.0)
+            clipped = jnp.clip(self.act_bias + action, -1.0, 1.0)
             new_es, out = jax.vmap(self.env.step, in_axes=(0, 0, None))(
                 es, clipped, hmap)
             final_obs = out.obs              # pre-reset terminal/next obs
+            # pre-reset success-counter delta == this transition's
+            # in-tolerance flag (auto_reset would zero the counter)
+            succ_step = (new_es.successed_steps
+                         - es.successed_steps).astype(jnp.float32)
             new_es, out = auto_reset(new_es, out)
             # The terminating step of a blown-up env can carry a non-finite
             # reward before the env's NaN guard resets it; sanitize so one env
@@ -288,7 +327,8 @@ class PPOLearner:
                             terminated=out.done.astype(jnp.float32),
                             truncated=out.truncated.astype(jnp.float32),
                             v_boot=jnp.zeros_like(value),
-                            failed=out.failed.astype(jnp.float32))
+                            failed=out.failed.astype(jnp.float32),
+                            succ_step=succ_step)
             return (new_es, key), (tr, final_obs)
 
         (es, key), (traj, final_obs) = jax.lax.scan(
@@ -311,7 +351,10 @@ class PPOLearner:
             # V(non-finite obs) = NaN, and NaN * 0 = NaN would poison the
             # whole GAE scan (the _norm clip bounds it too; double-guarded)
             boot = jnp.where(tr.terminated > 0, 0.0, tr.v_boot)
-            delta = tr.reward + cfg.gamma * boot - tr.value
+            # training-only shaping (config docstring); env rewards untouched
+            r = (tr.reward + cfg.success_bonus * tr.succ_step
+                 - cfg.fail_penalty * tr.failed)
+            delta = r + cfg.gamma * boot - tr.value
             gae = delta + cfg.gamma * cfg.gae_lambda * not_reset * gae
             return gae, gae
 
@@ -424,6 +467,7 @@ class PPOLearner:
             params, opt_state = carry[0], carry[1]
             metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)
             metrics["reward_mean"] = traj.reward.mean()
+            metrics["succ_step_frac"] = traj.succ_step.mean()
             ended = jnp.maximum(traj.terminated, traj.truncated)
             n_ep = jnp.maximum(ended.sum(), 1.0)
             metrics["done_frac"] = ended.mean()
@@ -481,16 +525,28 @@ class PPOLearner:
             ts = self.restore(resume_from, ts)
         step = self.train_step_fn()
         history = []
+        best_succ = -1.0
         for i in range(num_updates):
             ts, metrics = step(ts)
             if (i + 1) % log_every == 0 or i == num_updates - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["update"] = i + 1
                 history.append(m)
+                # keep the PEAK-success policy: PPO on an unstable plant can
+                # unlearn a succeeding policy late in a run (observed: hover
+                # success_ep 0.10 at update 130 -> 0 by 160 after one
+                # kl=0.005 update); the final checkpoint is not the best one
+                if (checkpoint_path
+                        and m["success_ep_frac"] > max(best_succ, 0.0)):
+                    best_succ = m["success_ep_frac"]
+                    self.save(checkpoint_path + ".best.npz", ts)
+                    print(f"  saved best (success_ep="
+                          f"{best_succ:.3f})", flush=True)
                 print(f"update {i+1}: reward={m['reward_mean']:.4f} "
                       f"loss={m['loss']:.4f} kl={m['approx_kl']:.4f} "
                       f"success_ep={m['success_ep_frac']:.3f} "
-                      f"fail_ep={m['fail_ep_frac']:.3f}", flush=True)
+                      f"fail_ep={m['fail_ep_frac']:.3f} "
+                      f"in_tol={m['succ_step_frac']:.3f}", flush=True)
             if checkpoint_path and (i + 1) % checkpoint_every == 0:
                 self.save(checkpoint_path, ts)
         if checkpoint_path:

@@ -94,6 +94,17 @@ def main(argv=None):
                          "steadier)")
     ap.add_argument("--no-obs-norm", action="store_true",
                     help="disable running-stat observation normalization")
+    ap.add_argument("--no-center-actions", action="store_true",
+                    help="policy outputs absolute actions instead of "
+                         "residuals around the nominal trim action")
+    ap.add_argument("--log-std-init", type=float, default=-0.5,
+                    help="initial policy log-std (lower = gentler early "
+                         "exploration; the heli is an unstable plant)")
+    ap.add_argument("--success-bonus", type=float, default=0.0,
+                    help="training-only shaping: + per in-tolerance step "
+                         "(the success criterion's own increment)")
+    ap.add_argument("--fail-penalty", type=float, default=0.0,
+                    help="training-only shaping: - on crash/OOB transitions")
     ap.add_argument("--randomized-resets", action="store_true",
                     help="per-env randomized initial trim conditions")
     ap.add_argument("--target", default=None,
@@ -138,7 +149,11 @@ def main(argv=None):
                     lr=args.lr, gamma=args.gamma, ent_coef=args.ent_coef,
                     epochs=args.epochs, minibatches=args.minibatches,
                     anneal_updates=args.anneal, shuffle=args.shuffle,
-                    obs_norm=not args.no_obs_norm)
+                    obs_norm=not args.no_obs_norm,
+                    center_actions=not args.no_center_actions,
+                    log_std_init=args.log_std_init,
+                    success_bonus=args.success_bonus,
+                    fail_penalty=args.fail_penalty)
     learner = PPOLearner(env, cfg)
     print(f"devices: {jax.devices()}  task: {label}  envs: {cfg.num_envs}  "
           f"steps/update: {cfg.num_envs * cfg.rollout_steps}  "

@@ -36,7 +36,7 @@ I/O design (v2.1): every Mosaic BlockSpec is a separate DMA stream with
 per-block setup cost — 19 small refs measurably slowed the kernel. All
 per-step data is therefore packed into ONE carried (75, B) f32 block (exact
 small-int counters ride as f32 rows) plus one constant init block in, and one
-carry block plus one (21, B) collect block out. The XLA glue writes the
+carry block plus one (22, B) collect block out. The XLA glue writes the
 gather/noise/action rows into the carry block with a single static-slice
 update per step.
 
@@ -46,8 +46,10 @@ Block row layout (envs on lanes, components on sublanes):
     (any, rest, succ, time_up) | 65 h_pend | 66-68 eta | 69-72 action |
     73 steps | 74 successed_steps
   init block (63): 0-60 reset-target state | 61 h | 62 task_id
-  collect block (21): 0 reward | 1 done_prev | 2 trunc_prev | 3 failed_prev |
-    4-20 obs_eff (post-reset obs of the previous transition)
+  collect block (22): 0 reward | 1 done_prev | 2 trunc_prev | 3 failed_prev |
+    4-20 obs_eff (post-reset obs of the previous transition) |
+    21 succ_step (THIS transition's in-tolerance flag, aligned with reward —
+    the learner's optional success-bonus shaping reads it)
 """
 from __future__ import annotations
 
@@ -74,7 +76,7 @@ _CROWS = 75
 # init-block rows
 _IH, _ITID, _IROWS = 61, 62, 63
 # collect-block rows
-_CREW, _CDONE, _CTRUNC, _CFAIL, _COBS0, _XROWS = 0, 1, 2, 3, 4, 21
+_CREW, _CDONE, _CTRUNC, _CFAIL, _COBS0, _CSUCC, _XROWS = 0, 1, 2, 3, 4, 21, 22
 # partial-flag meanings (rows _PF0+i)
 _PF_ANY, _PF_REST, _PF_SUCC, _PF_TIMEUP = 0, 1, 2, 3
 
@@ -167,14 +169,14 @@ def _kernel(env: HeliEnv, auto_reset: bool, c_ref, init_ref, o_c, o_x):
     ], axis=0)
     o_x[:] = jnp.concatenate([
         reward[None], fz(done_prev)[None], fz(trunc_prev)[None],
-        fz(failed_prev)[None], obs_eff,
+        fz(failed_prev)[None], obs_eff, fz(succ_step)[None],
     ], axis=0)
 
 
 def build_fused_core(env: HeliEnv, num_envs: int, block_envs: Optional[int] = None,
                      interpret: Optional[bool] = None, auto_reset: bool = True):
     """Returns fused(carry_block (75,B), init_block (63,B)) ->
-    (carry_block', collect_block (21,B))."""
+    (carry_block', collect_block (22,B))."""
     if num_envs % LANES != 0:
         raise ValueError(f"num_envs must be a multiple of {LANES}")
     blk = block_envs or min(num_envs, 2048)
@@ -260,7 +262,8 @@ def _make_step_core(env: HeliEnv, num_envs: int, block_envs, interpret,
         c, x = fused(c, init)
         info = {"reward": x[_CREW],
                 "done_prev": x[_CDONE] != 0, "trunc_prev": x[_CTRUNC] != 0,
-                "failed_prev": x[_CFAIL] != 0, "obs_eff": x[_COBS0:_XROWS],
+                "failed_prev": x[_CFAIL] != 0, "obs_eff": x[_COBS0:_CSUCC],
+                "succ_step": x[_CSUCC] != 0,
                 "final_obs": c[_O0:_D0]}
         return c, info
 
@@ -404,6 +407,7 @@ def build_fused_policy_rollout(env: HeliEnv, num_envs: int, steps: int,
                     "terminated": info["done_prev"],
                     "truncated": info["trunc_prev"],
                     "failed": info["failed_prev"],
+                    "succ_step": info["succ_step"],
                     "final_obs": info["final_obs"].T, **aux}
             return carry, outs
 

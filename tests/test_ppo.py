@@ -74,6 +74,28 @@ def test_fused_collector_multi_device(hover_env):
         assert np.isfinite(float(v)), f"{k} not finite"
 
 
+def test_action_centering(hover_env):
+    """center_actions=True executes clip(trim_action + residual): the
+    deterministic policy at init (mean ~ 0) must sit on the trim action,
+    and turning it off must recover the absolute-action policy."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg_c = PPOConfig(num_envs=16, rollout_steps=4, minibatches=2, epochs=1,
+                      hidden=(16, 16), center_actions=True)
+    cfg_a = PPOConfig(num_envs=16, rollout_steps=4, minibatches=2, epochs=1,
+                      hidden=(16, 16), center_actions=False)
+    lc = PPOLearner(hover_env, cfg_c, mesh=mesh)
+    la = PPOLearner(hover_env, cfg_a, mesh=mesh)
+    trim_act = np.asarray(hover_env.trim_result().action)
+    ts = lc.init(jax.random.PRNGKey(0))
+    obs = np.asarray(ts.env_state.obs)
+    act_c = np.asarray(lc.policy(ts.params, obs))
+    act_a = np.asarray(la.policy(ts.params, obs))
+    # init mean head has 0.01-scale orthogonal weights -> |mean| << 0.1
+    np.testing.assert_allclose(act_c, act_a + trim_act, atol=1e-6)
+    assert np.abs(act_c - trim_act).max() < 0.1
+    assert np.abs(np.asarray(lc.act_bias) - trim_act).max() == 0.0
+
+
 def test_checkpoint_resume(tmp_path, learner):
     ts = learner.init(jax.random.PRNGKey(4))
     step = learner.train_step_fn()
