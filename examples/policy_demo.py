@@ -35,7 +35,11 @@ def main():
     ap.add_argument("--no-center-actions", action="store_true",
                     help="checkpoint was trained with absolute (uncentered) "
                          "actions — must match training")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to the CPU backend")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     env = HeliEnv.build("aw109", task=TASKS[args.task]())
     if args.target:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 
@@ -253,10 +253,18 @@ class LandingTask(Task):
     pad_north: float = 0.0
     pad_east: float = 0.0
     max_touch_rate: float = 3.0   # [ft/s] gentle-touchdown descent limit
+    # Sea-level altitude of gear contact at the pad; when set, per-step
+    # success additionally requires the CG within 5 ft above it, so "settled"
+    # means ON the ground, not merely motionless (a trim hover is motionless
+    # and level too). None preserves the altitude-agnostic behavior; the
+    # train CLI resolves `--target touch_alt=ground` to the terrain's
+    # contact altitude at (0, 0).
+    touch_alt: Optional[float] = None
 
     def target_dict(self):
         return {"pad_north": self.pad_north, "pad_east": self.pad_east,
-                "max_touch_rate": self.max_touch_rate}
+                "max_touch_rate": self.max_touch_rate,
+                "touch_alt": self.touch_alt}
 
     def reward(self, norm, state, dots, task_id=None):
         pqr_final, pqr_terminal = _pqr_rewards(norm, state, dots)
@@ -282,6 +290,10 @@ class LandingTask(Task):
         speed2 = (state.u * state.u + state.v * state.v) + state.w * state.w
         success = ((speed2 < 4.0) & (jnp.abs(state.phi) < 0.15)
                    & (jnp.abs(state.theta) < 0.15) & (pad_final > -1.0))
+        if self.touch_alt is not None:
+            # static Python branch: task fields are jit-static
+            success = success & ((-state.z)
+                                 < jnp.float32(self.touch_alt) + 5.0)
         return reward, success
 
 

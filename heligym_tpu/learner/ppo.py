@@ -79,6 +79,16 @@ class PPOConfig:
     # transitions. Both default off.
     success_bonus: float = 0.0
     fail_penalty: float = 0.0
+    # Value-loss clipping range; 0 disables value clipping. The default 0.2
+    # matches clip_eps, which is calibrated for O(1) returns — with
+    # success-bonus shaping, returns reach O(1/(1-gamma)) and a 0.2 clip
+    # throttles critic learning (lagging critic -> noisy advantages ->
+    # policy erosion; observed on hover run A).
+    vf_clip_eps: float = 0.2
+    # Skip minibatch updates once the pre-update approximate KL to the
+    # rollout policy exceeds this (0 = off): a jit-compatible form of
+    # KL early stopping that bounds how far one train step can drift.
+    target_kl: float = 0.0
 
 
 @struct.dataclass
@@ -374,10 +384,14 @@ class PPOLearner:
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps) * adv
         pg_loss = -jnp.minimum(pg1, pg2).mean()
-        v_clipped = batch.value + jnp.clip(value - batch.value,
-                                           -cfg.clip_eps, cfg.clip_eps)
-        v_loss = 0.5 * jnp.maximum((value - returns) ** 2,
-                                   (v_clipped - returns) ** 2).mean()
+        if cfg.vf_clip_eps > 0:
+            v_clipped = batch.value + jnp.clip(value - batch.value,
+                                               -cfg.vf_clip_eps,
+                                               cfg.vf_clip_eps)
+            v_loss = 0.5 * jnp.maximum((value - returns) ** 2,
+                                       (v_clipped - returns) ** 2).mean()
+        else:
+            v_loss = 0.5 * ((value - returns) ** 2).mean()
         ent = gaussian_entropy(log_std).mean()
         total = pg_loss + cfg.vf_coef * v_loss - ent_coef * ent
         return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
@@ -415,7 +429,14 @@ class PPOLearner:
                 params, batch, sl(adv_r), sl(ret_r), stats, ent_coef)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             # scale_by_adam + manual -lr: exactly adam(lr) with a traced lr
-            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            step_lr = lr
+            if cfg.target_kl > 0:
+                # KL early stop, jit-form: once this epoch pass has drifted
+                # past target_kl, zero the remaining minibatch updates
+                # (adam moments still advance — a skipped step is a no-op on
+                # params, not on the optimizer; acceptable for a guard rail)
+                step_lr = jnp.where(aux["approx_kl"] < cfg.target_kl, lr, 0.0)
+            updates = jax.tree_util.tree_map(lambda u: -step_lr * u, updates)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), {"loss": loss, **aux}
 

@@ -52,19 +52,27 @@ def default_cond_sampler(key, n):
 def _parse_target(spec: str, env) -> dict:
     """'k=v,...' task-target overrides; the value 'start' resolves to the
     default trim condition's start altitude (terrain + gear touch + 100 ft
-    gr_alt), computed on the host CPU (eager TPU ops are ~0.4 s each through
-    the tunnel — see CLAUDE.md)."""
+    gr_alt), 'ground' to the gear-contact altitude itself — both computed on
+    the host CPU (eager TPU ops are ~0.4 s each through the tunnel — see
+    CLAUDE.md)."""
     from ..ops import terrain as terrain_ops
+
+    def _contact_alt() -> float:
+        cpu = jax.local_devices(backend="cpu")[0]
+        env_cpu = env.to_backend("cpu")
+        with jax.default_device(cpu):
+            return float(jax.jit(
+                lambda x, y: terrain_ops.ground_touching_altitude(
+                    env_cpu.params, env_cpu.terrain, x, y))(
+                jnp.float32(0.0), jnp.float32(0.0)))
+
     updates = {}
     for kv in spec.split(","):
         k, v = (s.strip() for s in kv.split("="))
         if v == "start":
-            cpu = jax.local_devices(backend="cpu")[0]
-            env_cpu = env.to_backend("cpu")
-            with jax.default_device(cpu):
-                val = float(jax.jit(lambda x, y: terrain_ops.ground_touching_altitude(
-                    env_cpu.params, env_cpu.terrain, x, y))(
-                    jnp.float32(0.0), jnp.float32(0.0))) + 100.0
+            val = _contact_alt() + 100.0
+        elif v == "ground":
+            val = _contact_alt()
         else:
             val = float(v)
         updates[k] = val
@@ -105,6 +113,12 @@ def main(argv=None):
                          "(the success criterion's own increment)")
     ap.add_argument("--fail-penalty", type=float, default=0.0,
                     help="training-only shaping: - on crash/OOB transitions")
+    ap.add_argument("--vf-clip", type=float, default=0.2,
+                    help="value-loss clip range (0 = no value clipping; "
+                         "use 0 with --success-bonus, returns are O(100))")
+    ap.add_argument("--target-kl", type=float, default=0.0,
+                    help="skip minibatch updates past this approx KL "
+                         "(0 = off)")
     ap.add_argument("--randomized-resets", action="store_true",
                     help="per-env randomized initial trim conditions")
     ap.add_argument("--target", default=None,
@@ -112,6 +126,10 @@ def main(argv=None):
                          "the reference's set_target, helicopter.py:100-106) "
                          "e.g. --target sea_alt=1640. 'start' for sea_alt "
                          "resolves to the trim start altitude.")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to the CPU backend (the JAX_PLATFORMS env "
+                         "var is overridden by the TPU plugin; this flag "
+                         "applies the config-level pin)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--metrics-out", default=None)
@@ -121,6 +139,10 @@ def main(argv=None):
     ap.add_argument("--resume", default=None,
                     help="path of a checkpoint to resume from")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        # must run before any backend-touching jax call in this process
+        jax.config.update("jax_platforms", "cpu")
 
     task_ids = None
     if args.tasks:
@@ -153,7 +175,9 @@ def main(argv=None):
                     center_actions=not args.no_center_actions,
                     log_std_init=args.log_std_init,
                     success_bonus=args.success_bonus,
-                    fail_penalty=args.fail_penalty)
+                    fail_penalty=args.fail_penalty,
+                    vf_clip_eps=args.vf_clip,
+                    target_kl=args.target_kl)
     learner = PPOLearner(env, cfg)
     print(f"devices: {jax.devices()}  task: {label}  envs: {cfg.num_envs}  "
           f"steps/update: {cfg.num_envs * cfg.rollout_steps}  "
