@@ -126,6 +126,9 @@ def main(argv=None):
                          "the reference's set_target, helicopter.py:100-106) "
                          "e.g. --target sea_alt=1640. 'start' for sea_alt "
                          "resolves to the trim start altitude.")
+    ap.add_argument("--start-alt", type=float, default=None,
+                    help="initial trim altitude above ground [ft] "
+                         "(default 100; e.g. 25 for a landing curriculum)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend (the JAX_PLATFORMS env "
                          "var is overridden by the TPU plugin; this flag "
@@ -186,6 +189,8 @@ def main(argv=None):
     ts, history = learner.train(
         jax.random.PRNGKey(args.seed), args.updates,
         log_every=args.log_every,
+        trim_cond=({"gr_alt": args.start_alt}
+                   if args.start_alt is not None else None),
         cond_sampler=default_cond_sampler if args.randomized_resets else None,
         task_ids=task_ids,
         checkpoint_path=args.checkpoint,
