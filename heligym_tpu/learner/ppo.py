@@ -79,6 +79,14 @@ class PPOConfig:
     # transitions. Both default off.
     success_bonus: float = 0.0
     fail_penalty: float = 0.0
+    # Potential-based descent shaping (landing): adds
+    # coef * (gamma * Phi(s') - Phi(s)) with Phi = -altitude-above-ground
+    # (obs[16]), gated off across episode boundaries. Telescoping: a
+    # climb-then-descend cycle nets ~zero, so unlike a raw descent reward it
+    # cannot be farmed; it only pulls the policy through the touchdown
+    # discovery barrier (a hover-trained policy never finds the ground by
+    # sigma=0.08 exploration; observed: landing runs hover indefinitely).
+    agl_shaping: float = 0.0
     # Value-loss clipping range; 0 disables value clipping. The default 0.2
     # matches clip_eps, which is calibrated for O(1) returns — with
     # success-bonus shaping, returns reach O(1/(1-gamma)) and a 0.2 clip
@@ -354,7 +362,19 @@ class PPOLearner:
         advantage accumulation across the reset boundary."""
         cfg = self.config
 
-        def scan_back(gae, tr):
+        shaping = jnp.zeros_like(traj.reward)
+        if cfg.agl_shaping != 0.0:
+            # potential-based: coef * (gamma * Phi(s_{t+1}) - Phi(s_t)),
+            # Phi = -alt_above_ground; obs[t+1] is post-reset so boundary
+            # transitions are gated off (their next obs is a new episode's)
+            phi = -traj.obs[..., 16]
+            phi_next = jnp.concatenate([phi[1:], phi[-1:]], axis=0)
+            intra = ((1.0 - traj.terminated) * (1.0 - traj.truncated)
+                     ).at[-1].set(0.0)
+            shaping = cfg.agl_shaping * intra * (cfg.gamma * phi_next - phi)
+
+        def scan_back(gae, tr_and_sh):
+            tr, sh = tr_and_sh
             not_term = 1.0 - tr.terminated
             not_reset = not_term * (1.0 - tr.truncated)
             # select, don't multiply: v_boot at a terminated blowup step is
@@ -363,13 +383,14 @@ class PPOLearner:
             boot = jnp.where(tr.terminated > 0, 0.0, tr.v_boot)
             # training-only shaping (config docstring); env rewards untouched
             r = (tr.reward + cfg.success_bonus * tr.succ_step
-                 - cfg.fail_penalty * tr.failed)
+                 - cfg.fail_penalty * tr.failed + sh)
             delta = r + cfg.gamma * boot - tr.value
             gae = delta + cfg.gamma * cfg.gae_lambda * not_reset * gae
             return gae, gae
 
         _, advantages = jax.lax.scan(
-            scan_back, jnp.zeros_like(traj.value[-1]), traj, reverse=True)
+            scan_back, jnp.zeros_like(traj.value[-1]), (traj, shaping),
+            reverse=True)
         returns = advantages + traj.value
         return advantages, returns
 

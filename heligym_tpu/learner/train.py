@@ -113,6 +113,9 @@ def main(argv=None):
                          "(the success criterion's own increment)")
     ap.add_argument("--fail-penalty", type=float, default=0.0,
                     help="training-only shaping: - on crash/OOB transitions")
+    ap.add_argument("--agl-shaping", type=float, default=0.0,
+                    help="potential-based descent shaping coefficient "
+                         "(landing; Phi = -alt-above-ground)")
     ap.add_argument("--vf-clip", type=float, default=0.2,
                     help="value-loss clip range (0 = no value clipping; "
                          "use 0 with --success-bonus, returns are O(100))")
@@ -179,6 +182,7 @@ def main(argv=None):
                     log_std_init=args.log_std_init,
                     success_bonus=args.success_bonus,
                     fail_penalty=args.fail_penalty,
+                    agl_shaping=args.agl_shaping,
                     vf_clip_eps=args.vf_clip,
                     target_kl=args.target_kl)
     learner = PPOLearner(env, cfg)

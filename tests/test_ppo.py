@@ -96,6 +96,28 @@ def test_action_centering(hover_env):
     assert np.abs(np.asarray(lc.act_bias) - trim_act).max() == 0.0
 
 
+def test_shaped_gae_finite(hover_env):
+    """success-bonus/fail-penalty/AGL-potential shaping keeps the train step
+    finite (shaping is training-only: reward_mean must equal the raw env
+    reward regardless of shaping)."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                    hidden=(16, 16), success_bonus=2.0, fail_penalty=5.0,
+                    agl_shaping=10.0, vf_clip_eps=0.0, target_kl=0.05)
+    l = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = l.init(jax.random.PRNGKey(6))
+    ts, m = l.train_step_fn()(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    cfg0 = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                     hidden=(16, 16))
+    l0 = PPOLearner(hover_env, cfg0, mesh=mesh)
+    ts0 = l0.init(jax.random.PRNGKey(6))
+    ts0, m0 = l0.train_step_fn()(ts0)
+    np.testing.assert_allclose(float(m["reward_mean"]),
+                               float(m0["reward_mean"]), rtol=1e-5)
+
+
 def test_checkpoint_resume(tmp_path, learner):
     ts = learner.init(jax.random.PRNGKey(4))
     step = learner.train_step_fn()
