@@ -37,6 +37,14 @@ def main():
                          "actions — must match training")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend")
+    ap.add_argument("--start-alt", type=float, default=None,
+                    help="initial trim altitude above ground [ft] "
+                         "(match training --start-alt)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="episode RNG seed (wind turbulence stream)")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample actions from the policy distribution "
+                         "instead of taking the mean")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -52,26 +60,49 @@ def main():
     template = learner.init(jax.random.PRNGKey(0))
     ts = learner.restore(args.checkpoint, template)
 
-    es, obs = env.reset(jax.random.PRNGKey(42))
+    es, obs = env.reset(
+        jax.random.PRNGKey(args.seed),
+        {"gr_alt": args.start_alt} if args.start_alt is not None else None)
     step = jax.jit(env.step)
-    policy = jax.jit(lambda o: learner.policy(
-        ts.params, o[None],
-        obs_stats=ts.obs_stats if learner.config.obs_norm else None)[0])
+    stats = ts.obs_stats if learner.config.obs_norm else None
+    if args.stochastic:
+        policy = jax.jit(lambda o, k: learner.policy(
+            ts.params, o[None], key=k, obs_stats=stats)[0])
+        act_key = jax.random.PRNGKey(args.seed + 10_000)
+    else:
+        policy = jax.jit(lambda o, k: learner.policy(
+            ts.params, o[None], obs_stats=stats)[0])
+        act_key = jax.random.PRNGKey(0)   # unused
 
     renderer = get_renderer(env, camera_mode=args.camera,
                             orbit_frames=args.steps // args.every)
     frames, rewards = [], []
-    succ = False
+    succ = failed = False
+    # Gear legs hang LG.LOC z below the CG, so the skids physically reach the
+    # ground when obs[16] (CG altitude above ground) <= leg reach (contact
+    # FORCES engage earlier, in the reference's leg_alt < ground + WL_CG/12
+    # window — ops/gear.py).
+    gear_h = max(l[2] for l in env.params.LG.LOC)
+    contact_steps, min_agl, first_contact = 0, float("inf"), -1
     for t in range(args.steps):
-        act = policy(es.obs)
+        act_key, k_t = jax.random.split(act_key)
+        act = policy(es.obs, k_t)
         es, out = step(es, act)
         rewards.append(float(out.reward))
+        agl = float(es.obs[16]) - gear_h
+        min_agl = min(min_agl, agl)
+        if agl <= 0.0:
+            contact_steps += 1
+            if first_contact < 0:
+                first_contact = t
         if t % args.every == 0:
             frames.append(np.asarray(renderer.render(es)))
         succ = succ or bool(out.successed)
-        if bool(out.done):
+        if bool(out.done) or bool(out.truncated):
+            failed = bool(out.failed)
             print(f"episode ended at step {t} "
-                  f"(successed={bool(out.successed)}, failed={bool(out.failed)})")
+                  f"(successed={bool(out.successed)}, failed={failed}, "
+                  f"time_up={bool(out.time_up)})")
             break
     renderer.close()
 
@@ -80,9 +111,16 @@ def main():
     succ_s = float(es.successed_steps) * env.dt
     print(f"wrote {args.out}: {len(frames)} frames; "
           f"mean reward {np.mean(rewards):+.3f}; successed={succ} "
+          f"failed={failed} "
           f"(accumulated success time {succ_s:.1f}s / "
           f"{env.success_duration:.1f}s needed); "
           f"final alt {float(es.obs[15]):.0f} ft")
+    if first_contact >= 0:
+        print(f"touchdown: gear on ground from step {first_contact} "
+              f"({first_contact * env.dt:.1f}s), {contact_steps} "
+              f"gear-contact steps, min skid height {min_agl:+.2f} ft")
+    else:
+        print(f"no gear contact (min skid height {min_agl:+.2f} ft)")
 
 
 if __name__ == "__main__":

@@ -149,8 +149,20 @@ def trim(params, terrain, wind_ned, cond) -> TrimResult:
     cpu = jax.local_devices(backend="cpu")[0]
     terrain_cpu = _cpu_terrain(terrain, cpu)
     with jax.default_device(cpu):
-        return _trim_on_host(params, terrain_cpu,
-                             jax.device_put(wind_ned, cpu), cond)
+        tr = _trim_on_host(params, terrain_cpu,
+                           jax.device_put(wind_ned, cpu), cond)
+    import numpy as _np
+    amax = float(_np.abs(_np.asarray(tr.action)).max())
+    if amax > 1.0:
+        import warnings
+        warnings.warn(
+            f"trim action out of the [-1, 1] control range (max |a|={amax:.2f})"
+            f" for cond {cond} — the solution is not flyable. Known cause: "
+            f"gr_alt at or below the landing-gear reach "
+            f"(~{max(l[2] for l in params.LG.LOC):.1f} ft below the CG) puts "
+            "the trim point in ground contact; use a higher start altitude.",
+            stacklevel=2)
+    return tr
 
 
 _CPU_TERRAIN_CACHE = {}
