@@ -518,6 +518,19 @@ class PPOLearner:
             metrics["success_ep_frac"] = (
                 traj.terminated * (1.0 - traj.failed)).sum() / n_ep
             metrics["fail_ep_frac"] = traj.failed.sum() / n_ep
+            # MixedTask: per-sub-task breakdown (task ids are static per env)
+            sub_tasks = getattr(self.env.task, "tasks", None)
+            if sub_tasks:
+                tid = ts.env_state.task_id[None, :]      # (1, B)
+                T = jnp.float32(traj.reward.shape[0])
+                for i in range(len(sub_tasks)):
+                    m = (tid == i).astype(jnp.float32)
+                    ep_i = jnp.maximum((ended * m).sum(), 1.0)
+                    metrics[f"success_ep_frac_t{i}"] = (
+                        traj.terminated * (1.0 - traj.failed) * m
+                    ).sum() / ep_i
+                    metrics[f"in_tol_t{i}"] = (traj.succ_step * m).sum() \
+                        / jnp.maximum(m.sum() * T, 1.0)
             metrics["lr"] = lr_t
             new_stats = (self._merge_stats(ts.obs_stats, traj.obs)
                          if cfg.obs_norm else ts.obs_stats)
