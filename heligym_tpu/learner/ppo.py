@@ -573,11 +573,21 @@ class PPOLearner:
               cond_sampler=None, task_ids=None,
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 100,
-              resume_from: Optional[str] = None):
+              resume_from: Optional[str] = None,
+              fresh_farm: bool = False):
+        """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
+        obs-stats but use the freshly initialized env farm — REQUIRED when
+        resuming under different initial conditions (e.g. a start-altitude
+        curriculum): a full restore silently brings back the checkpoint's
+        env states AND reset snapshots, so a new `trim_cond` has no effect."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
         if resume_from:
-            ts = self.restore(resume_from, ts)
+            restored = self.restore(resume_from, ts)
+            if fresh_farm:
+                restored = restored.replace(env_state=ts.env_state,
+                                            key=ts.key)
+            ts = restored
         step = self.train_step_fn()
         history = []
         best_succ = -1.0

@@ -144,6 +144,11 @@ def main(argv=None):
                          "training state")
     ap.add_argument("--resume", default=None,
                     help="path of a checkpoint to resume from")
+    ap.add_argument("--fresh-farm", action="store_true",
+                    help="on --resume, keep the checkpoint's network/"
+                         "optimizer but re-initialize the env farm — "
+                         "REQUIRED for a --start-alt curriculum (a full "
+                         "restore brings back the old reset snapshots)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -198,7 +203,8 @@ def main(argv=None):
         cond_sampler=default_cond_sampler if args.randomized_resets else None,
         task_ids=task_ids,
         checkpoint_path=args.checkpoint,
-        resume_from=args.resume)
+        resume_from=args.resume,
+        fresh_farm=args.fresh_farm)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
