@@ -97,6 +97,16 @@ class PPOConfig:
     # rollout policy exceeds this (0 = off): a jit-compatible form of
     # KL early stopping that bounds how far one train step can drift.
     target_kl: float = 0.0
+    # Scheduled exploration-std ceiling: the effective log-std is
+    # min(learned, cap(t)) with cap decaying linearly from log_std_init to
+    # `std_cap_final` over `std_cap_updates` updates. Collection, loss and
+    # entropy all use the capped value, so log-probs stay consistent.
+    # Motivation: on hover/landing the success behavior can ride on
+    # exploration noise (stochastic success >> mean-policy success);
+    # squeezing the std late in training forces the MEAN to carry the
+    # behavior. 0 updates = off.
+    std_cap_final: float = -3.5
+    std_cap_updates: int = 0
 
 
 @struct.dataclass
@@ -242,12 +252,15 @@ class PPOLearner:
     # ------------------------------------------------------------ rollout
     def _policy_fn(self, fold_axis: Optional[str] = None):
         def policy_fn(p, obs, key_t):
-            params, stats = p   # stats: ObsStats or None (cfg.obs_norm off)
+            # stats: ObsStats or None (cfg.obs_norm off); cap: scalar
+            # log-std ceiling (1e9 = off; see PPOConfig.std_cap_updates)
+            params, stats, cap = p
             if fold_axis is not None:
                 # decorrelate action noise across mesh shards
                 key_t = jax.random.fold_in(key_t, jax.lax.axis_index(fold_axis))
             mean, log_std, value = self.network.apply(params,
                                                       self._norm(obs, stats))
+            log_std = jnp.minimum(log_std, cap)
             noise = jax.random.normal(key_t, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
@@ -290,13 +303,13 @@ class PPOLearner:
                              in_specs=(sh, P(), P(), hm),
                              out_specs=(sh, traj_specs), check_vma=False)
 
-    def _collect_fused(self, params, stats, es: EnvState, key, hmap):
+    def _collect_fused(self, params, stats, cap, es: EnvState, key, hmap):
         """Rollout through the fused Pallas step kernel: policy matmuls in
         XLA (MXU), physics in one Mosaic kernel per step (per device shard
         on multi-device meshes)."""
         if self._fused_rollout is None:
             self._fused_rollout = self._build_fused_rollout()
-        es, traj = self._fused_rollout(es, (params, stats), key, hmap)
+        es, traj = self._fused_rollout(es, (params, stats, cap), key, hmap)
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
                           -100.0, 100.0)
@@ -316,12 +329,13 @@ class PPOLearner:
         _, _, value = self.network.apply(params, self._norm(obs, stats))
         return value
 
-    def _collect(self, params, stats, es: EnvState, key, hmap):
+    def _collect(self, params, stats, cap, es: EnvState, key, hmap):
         def scan_step(carry, _):
             es, key = carry
             key, k_act = jax.random.split(key)
             mean, log_std, value = self.network.apply(params,
                                                       self._norm(es.obs, stats))
+            log_std = jnp.minimum(log_std, cap)
             noise = jax.random.normal(k_act, mean.shape)
             action = mean + jnp.exp(log_std) * noise
             log_prob = gaussian_log_prob(mean, log_std, action)
@@ -395,10 +409,11 @@ class PPOLearner:
         return advantages, returns
 
     # ------------------------------------------------------------- update
-    def _loss(self, params, batch, advantages, returns, stats, ent_coef):
+    def _loss(self, params, batch, advantages, returns, stats, ent_coef, cap):
         cfg = self.config
         mean, log_std, value = self.network.apply(params,
                                                   self._norm(batch.obs, stats))
+        log_std = jnp.minimum(log_std, cap)
         log_prob = gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(log_prob - batch.log_prob)
         adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
@@ -418,7 +433,7 @@ class PPOLearner:
         return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
                        "approx_kl": ((ratio - 1.0) - jnp.log(ratio)).mean()}
 
-    def _update_epoch(self, carry, _, stats, ent_coef, lr):
+    def _update_epoch(self, carry, _, stats, ent_coef, lr, cap):
         params, opt_state, key, flat, advantages, returns = carry
         cfg = self.config
         n = advantages.shape[0]
@@ -447,7 +462,7 @@ class PPOLearner:
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * mb, mb)
             batch = jax.tree_util.tree_map(sl, flat_r)
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, batch, sl(adv_r), sl(ret_r), stats, ent_coef)
+                params, batch, sl(adv_r), sl(ret_r), stats, ent_coef, cap)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             # scale_by_adam + manual -lr: exactly adam(lr) with a traced lr
             step_lr = lr
@@ -494,8 +509,16 @@ class PPOLearner:
             else:
                 frac = jnp.float32(1.0)
             lr_t, ent_t = cfg.lr * frac, cfg.ent_coef * frac
+            if cfg.std_cap_updates > 0:
+                cfrac = jnp.clip(ts.update_count.astype(jnp.float32)
+                                 / float(cfg.std_cap_updates), 0.0, 1.0)
+                cap_t = (cfg.log_std_init
+                         + (cfg.std_cap_final - cfg.log_std_init) * cfrac)
+            else:
+                cap_t = jnp.float32(1e9)   # min() no-op
 
-            es, _, traj = collect(ts.params, stats, ts.env_state, k_roll, hmap)
+            es, _, traj = collect(ts.params, stats, cap_t, ts.env_state,
+                                  k_roll, hmap)
             advantages, returns = self._gae(traj)
             # (T, B, ...) -> (T*B, ...)
             flat = jax.tree_util.tree_map(
@@ -504,7 +527,8 @@ class PPOLearner:
             ret_f = returns.reshape(-1)
             carry = (ts.params, ts.opt_state, k_upd, flat, adv_f, ret_f)
             carry, metrics = jax.lax.scan(
-                lambda c, x: self._update_epoch(c, x, stats, ent_t, lr_t),
+                lambda c, x: self._update_epoch(c, x, stats, ent_t, lr_t,
+                                                cap_t),
                 carry, None, length=cfg.epochs)
             params, opt_state = carry[0], carry[1]
             metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)

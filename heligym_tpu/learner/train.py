@@ -122,6 +122,12 @@ def main(argv=None):
     ap.add_argument("--target-kl", type=float, default=0.0,
                     help="skip minibatch updates past this approx KL "
                          "(0 = off)")
+    ap.add_argument("--std-cap-updates", type=int, default=0,
+                    help="anneal an exploration-std ceiling from "
+                         "--log-std-init to --std-cap-final over N updates "
+                         "(0 = off); forces the MEAN policy to carry "
+                         "noise-dependent behavior")
+    ap.add_argument("--std-cap-final", type=float, default=-3.5)
     ap.add_argument("--randomized-resets", action="store_true",
                     help="per-env randomized initial trim conditions")
     ap.add_argument("--target", default=None,
@@ -189,7 +195,9 @@ def main(argv=None):
                     fail_penalty=args.fail_penalty,
                     agl_shaping=args.agl_shaping,
                     vf_clip_eps=args.vf_clip,
-                    target_kl=args.target_kl)
+                    target_kl=args.target_kl,
+                    std_cap_updates=args.std_cap_updates,
+                    std_cap_final=args.std_cap_final)
     learner = PPOLearner(env, cfg)
     print(f"devices: {jax.devices()}  task: {label}  envs: {cfg.num_envs}  "
           f"steps/update: {cfg.num_envs * cfg.rollout_steps}  "
