@@ -1,0 +1,188 @@
+"""Batched policy evaluation: N independent fresh-trim episodes, one jitted scan.
+
+    python -m heligym_tpu.learner.evaluate --checkpoint ck.npz.best.npz \
+        --task hover --target sea_alt=start --train-num-envs 4096 --episodes 64
+
+Each episode runs to its OWN first termination (success / crash / 40 s wall,
+envs/env.py:254-295); there is no auto-reset, so the reported fractions are
+true per-episode statistics, not per-transition ones. The whole evaluation is
+one `lax.scan` on device — per-env end flags are latched in the carry, matching
+how the reference would score `successed`/`failed` episode-by-episode
+(reference success criterion: accumulated in-tolerance time >= max_time/4,
+helicopter.py:236-237; failure: crash/OOB, helicopter.py:238-249).
+
+`--train-num-envs` must match the checkpoint's training config: checkpoints
+snapshot the FULL TrainState (utils/checkpoint.py validates the treedef), so
+the restore template needs the same farm shape. `--episodes` is independent.
+
+Deterministic (mean-policy) evaluation is the default; `--stochastic` samples
+from the learned Gaussian instead (matches training-time behavior — on
+policies whose success rides on exploration noise the two differ, see
+docs/TRAINING.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs import HeliEnv
+from ..envs.tasks import MixedTask
+from ..parallel.mesh import make_env_mesh
+from .ppo import PPOConfig, PPOLearner
+from .train import TASKS, _parse_target
+
+
+def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
+             steps: int, key, stochastic: bool = False,
+             trim_cond=None, task_ids=None) -> dict:
+    """Run `episodes` fresh episodes under the checkpoint's policy; return
+    per-episode outcome stats. Pure function of (ts, key) — jit-compiled as
+    one scan, zero host round-trips until the final result fetch."""
+    from ..envs.vector import VectorHeliEnv
+    from ..ops import terrain as terrain_ops
+
+    venv = VectorHeliEnv(env, episodes, auto_reset=False)
+    k_env, k_act = jax.random.split(key)
+    es0, _ = venv.reset(k_env, trim_cond)
+    if task_ids is not None:
+        es0 = venv.assign_tasks(es0, task_ids)
+    hmap = terrain_ops.prep_hmap_arg(env.terrain)
+    stats = ts.obs_stats if learner.config.obs_norm else None
+    params = ts.params
+
+    def policy(obs, k):
+        mean, log_std, _ = learner.network.apply(params,
+                                                 learner._norm(obs, stats))
+        act = (mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
+               if stochastic else mean)
+        return jnp.clip(learner.act_bias + act, -1.0, 1.0)
+
+    def scan_step(carry, t):
+        es, k, res = carry
+        k, k_t = jax.random.split(k)
+        act = policy(es.obs, k_t)
+        es, out = jax.vmap(env.step, in_axes=(0, 0, None))(es, act, hmap)
+        alive = res["end"] < 0
+        end_now = (out.done | out.truncated) & alive
+        # a blown-up env can emit one non-finite reward before its NaN-guard
+        # termination (envs/env.py:287); keep the sums finite
+        r = jnp.nan_to_num(out.reward, nan=0.0, posinf=0.0, neginf=0.0)
+        res = {
+            "succ": res["succ"] | (end_now & out.successed),
+            "fail": res["fail"] | (end_now & out.failed),
+            "end": jnp.where(end_now, t, res["end"]),
+            "reward": res["reward"] + jnp.where(alive, r, 0.0),
+        }
+        return (es, k, res), None
+
+    res0 = {"succ": jnp.zeros(episodes, bool), "fail": jnp.zeros(episodes, bool),
+            "end": jnp.full(episodes, -1, jnp.int32),
+            "reward": jnp.zeros(episodes, jnp.float32)}
+
+    @jax.jit
+    def run(es, k, res):
+        (_, _, res), _ = jax.lax.scan(scan_step, (es, k, res),
+                                      jnp.arange(steps))
+        return res
+
+    res = jax.device_get(run(es0, k_act, res0))
+    succ, fail, end = res["succ"], res["fail"], res["end"]
+    ended = end >= 0
+    out = {
+        "episodes": episodes,
+        "success_frac": float(succ.mean()),
+        "fail_frac": float(fail.mean()),
+        # time_up without the success criterion firing, or never ended
+        # within the scan horizon
+        "timeout_frac": float((~succ & ~fail).mean()),
+        "median_end_step": int(np.median(np.where(ended, end, steps))),
+        "mean_episode_reward": float((res["reward"]
+                                      / np.maximum(np.where(ended, end + 1,
+                                                            steps), 1)).mean()),
+    }
+    if task_ids is not None:
+        tid = np.asarray(task_ids)
+        for i in sorted(set(tid.tolist())):
+            m = tid == i
+            out[f"success_frac_t{i}"] = float(succ[m].mean())
+            out[f"fail_frac_t{i}"] = float(fail[m].mean())
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--task", choices=sorted(TASKS), default="hover")
+    ap.add_argument("--tasks", default=None,
+                    help="comma list for MixedTask checkpoints (must match "
+                         "training); episodes are split round-robin and "
+                         "per-task fractions reported")
+    ap.add_argument("--target", default=None,
+                    help="task target override 'k=v,...' (match training)")
+    ap.add_argument("--train-num-envs", type=int, default=512,
+                    help="num_envs of the TRAINING run (restore template "
+                         "shape; utils/checkpoint.py validates the treedef)")
+    ap.add_argument("--episodes", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="scan horizon (0 = the env's 40 s wall + margin)")
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample the learned Gaussian instead of the mean")
+    ap.add_argument("--no-center-actions", action="store_true")
+    ap.add_argument("--start-alt", type=float, default=None,
+                    help="initial trim altitude above ground [ft] "
+                         "(match training)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to the CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    task_ids = None
+    if args.tasks:
+        names = [s.strip() for s in args.tasks.split(",") if s.strip()]
+        task = MixedTask(tasks=tuple(TASKS[n]() for n in names))
+        task_ids = np.arange(args.episodes) % len(names)
+    else:
+        task = TASKS[args.task]()
+    env = HeliEnv.build("aw109", task=task)
+    if args.target:
+        updates = _parse_target(args.target, env)
+        if args.tasks:
+            subs = tuple(t.with_target(**{k: v for k, v in updates.items()
+                                          if k in t.target_dict()})
+                         for t in env.task.tasks)
+            env = env.replace(task=MixedTask(tasks=subs))
+        else:
+            env = env.replace(task=env.task.with_target(**updates))
+
+    learner = PPOLearner(
+        env, PPOConfig(num_envs=args.train_num_envs,
+                       center_actions=not args.no_center_actions),
+        mesh=make_env_mesh(jax.devices()[:1]))
+    template = learner.init(jax.random.PRNGKey(0))
+    ts = learner.restore(args.checkpoint, template)
+
+    steps = args.steps or env.time_up_steps + 3
+    result = evaluate(
+        env, learner, ts, episodes=args.episodes, steps=steps,
+        key=jax.random.PRNGKey(args.seed), stochastic=args.stochastic,
+        trim_cond=({"gr_alt": args.start_alt}
+                   if args.start_alt is not None else None),
+        task_ids=task_ids)
+    result = {"checkpoint": args.checkpoint,
+              "policy": "stochastic" if args.stochastic else "mean",
+              "seed": args.seed, **result}
+    print(json.dumps(result, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
