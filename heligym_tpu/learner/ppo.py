@@ -45,6 +45,14 @@ class PPOConfig:
     # Running mean/var observation normalization (on top of the fixed
     # physical scales), updated from each rollout, frozen within an update.
     obs_norm: bool = True
+    # Stop UPDATING the running stats (still applied): the fine-tuning
+    # setting. On a warm-started farm every env restarts at trim, so the
+    # first rollouts' obs distribution differs sharply from the checkpoint's
+    # steady-state mix; with the 5e6 count cap those batches shift the stats
+    # ~nb/5e6 per update, silently perturbing the policy's effective inputs
+    # (measured: a 0.953-success hover policy degraded to 0.156 within 40
+    # fine-tune updates at kl~1e-3/update).
+    freeze_obs_stats: bool = False
     # Linear decay horizon (in updates) for lr and entropy coefficient down
     # to `anneal_floor` of their base values; 0 disables the schedules.
     anneal_updates: int = 0
@@ -557,7 +565,8 @@ class PPOLearner:
                         / jnp.maximum(m.sum() * T, 1.0)
             metrics["lr"] = lr_t
             new_stats = (self._merge_stats(ts.obs_stats, traj.obs)
-                         if cfg.obs_norm else ts.obs_stats)
+                         if cfg.obs_norm and not cfg.freeze_obs_stats
+                         else ts.obs_stats)
             new_ts = TrainState(params=params, opt_state=opt_state,
                                 env_state=es, key=key,
                                 update_count=ts.update_count + 1,
@@ -598,15 +607,34 @@ class PPOLearner:
               checkpoint_path: Optional[str] = None,
               checkpoint_every: int = 100,
               resume_from: Optional[str] = None,
-              fresh_farm: bool = False):
+              fresh_farm: bool = False,
+              resume_num_envs: Optional[int] = None):
         """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
         obs-stats but use the freshly initialized env farm — REQUIRED when
         resuming under different initial conditions (e.g. a start-altitude
         curriculum): a full restore silently brings back the checkpoint's
-        env states AND reset snapshots, so a new `trim_cond` has no effect."""
+        env states AND reset snapshots, so a new `trim_cond` has no effect.
+
+        `resume_num_envs`: the checkpoint's farm size when it differs from
+        this learner's (scale-up resume, e.g. warm-starting a 4096-env TPU
+        run from a 512-env policy). Checkpoints snapshot the FULL TrainState,
+        so their treedef embeds the farm shape; the checkpoint is restored
+        through a template of ITS OWN size and only the farm-size-independent
+        pieces (params, optimizer moments, obs stats) are transplanted.
+        Schedules restart (update_count stays 0) — a scale-up phase is a new
+        annealing regime, not a continuation."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
-        if resume_from:
+        if resume_from and resume_num_envs \
+                and resume_num_envs != self.config.num_envs:
+            tmp = PPOLearner(self.env,
+                             dataclasses.replace(self.config,
+                                                 num_envs=resume_num_envs),
+                             mesh=self.mesh)
+            small = tmp.restore(resume_from, tmp.init(key))
+            ts = ts.replace(params=small.params, opt_state=small.opt_state,
+                            obs_stats=small.obs_stats)
+        elif resume_from:
             restored = self.restore(resume_from, ts)
             if fresh_farm:
                 restored = restored.replace(env_state=ts.env_state,
@@ -617,20 +645,26 @@ class PPOLearner:
         best_succ = -1.0
         for i in range(num_updates):
             ts, metrics = step(ts)
+            # keep the PEAK-success policy: PPO on an unstable plant can
+            # unlearn a succeeding policy late in a run (observed: hover
+            # success_ep 0.10 at update 130 -> 0 by 160 after one
+            # kl=0.005 update); the final checkpoint is not the best one.
+            # Checked EVERY update: a synchronized farm ends its successful
+            # episodes in bursts every ~time_up/rollout_steps updates, so a
+            # log_every-sampled check aliases against the burst cycle and
+            # can miss every success window (observed on 4096-env hover:
+            # sampled success_ep 0.03 while burst updates hit 0.47).
+            if checkpoint_path:
+                s = float(metrics["success_ep_frac"])
+                if s > max(best_succ, 0.0):
+                    best_succ = s
+                    self.save(checkpoint_path + ".best.npz", ts)
+                    print(f"  saved best at update {i + 1} "
+                          f"(success_ep={s:.3f})", flush=True)
             if (i + 1) % log_every == 0 or i == num_updates - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["update"] = i + 1
                 history.append(m)
-                # keep the PEAK-success policy: PPO on an unstable plant can
-                # unlearn a succeeding policy late in a run (observed: hover
-                # success_ep 0.10 at update 130 -> 0 by 160 after one
-                # kl=0.005 update); the final checkpoint is not the best one
-                if (checkpoint_path
-                        and m["success_ep_frac"] > max(best_succ, 0.0)):
-                    best_succ = m["success_ep_frac"]
-                    self.save(checkpoint_path + ".best.npz", ts)
-                    print(f"  saved best (success_ep="
-                          f"{best_succ:.3f})", flush=True)
                 print(f"update {i+1}: reward={m['reward_mean']:.4f} "
                       f"loss={m['loss']:.4f} kl={m['approx_kl']:.4f} "
                       f"success_ep={m['success_ep_frac']:.3f} "

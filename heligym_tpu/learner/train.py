@@ -102,6 +102,11 @@ def main(argv=None):
                          "steadier)")
     ap.add_argument("--no-obs-norm", action="store_true",
                     help="disable running-stat observation normalization")
+    ap.add_argument("--freeze-obs-stats", action="store_true",
+                    help="apply but stop updating the running obs stats — "
+                         "use when fine-tuning a checkpoint (a fresh farm's "
+                         "early rollouts shift the stats and silently "
+                         "perturb the policy's effective inputs)")
     ap.add_argument("--no-center-actions", action="store_true",
                     help="policy outputs absolute actions instead of "
                          "residuals around the nominal trim action")
@@ -150,6 +155,11 @@ def main(argv=None):
                          "training state")
     ap.add_argument("--resume", default=None,
                     help="path of a checkpoint to resume from")
+    ap.add_argument("--resume-num-envs", type=int, default=None,
+                    help="the checkpoint's num_envs when scaling the farm "
+                         "up/down on resume: restores through a template of "
+                         "the checkpoint's size and transplants only params/"
+                         "optimizer/obs-stats (schedules restart)")
     ap.add_argument("--fresh-farm", action="store_true",
                     help="on --resume, keep the checkpoint's network/"
                          "optimizer but re-initialize the env farm — "
@@ -189,6 +199,7 @@ def main(argv=None):
                     epochs=args.epochs, minibatches=args.minibatches,
                     anneal_updates=args.anneal, shuffle=args.shuffle,
                     obs_norm=not args.no_obs_norm,
+                    freeze_obs_stats=args.freeze_obs_stats,
                     center_actions=not args.no_center_actions,
                     log_std_init=args.log_std_init,
                     success_bonus=args.success_bonus,
@@ -212,7 +223,8 @@ def main(argv=None):
         task_ids=task_ids,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
-        fresh_farm=args.fresh_farm)
+        fresh_farm=args.fresh_farm,
+        resume_num_envs=args.resume_num_envs)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "

@@ -40,3 +40,34 @@ def test_envstate_roundtrip_orbax(tmp_path, hover_env, hover_trim):
         pytest.skip(f"orbax unavailable in this environment: {e}")
     for a, b in zip(jax.tree_util.tree_leaves(es), jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scaleup_resume_transplants_params(tmp_path, hover_env):
+    """resume_num_envs: a checkpoint saved at one farm size warm-starts a
+    larger farm — params/optimizer/obs-stats transplant, farm is fresh,
+    schedules restart (learner/ppo.py::train)."""
+    import pytest
+    from heligym_tpu.learner import PPOConfig, PPOLearner
+    from heligym_tpu.parallel import make_env_mesh
+
+    mesh = make_env_mesh(jax.devices()[:1])
+    small_cfg = PPOConfig(num_envs=4, rollout_steps=4, minibatches=2,
+                          epochs=1, hidden=(16, 16))
+    small = PPOLearner(hover_env, small_cfg, mesh=mesh)
+    ts_small = small.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "small.npz")
+    small.save(path, ts_small)
+
+    big = PPOLearner(hover_env,
+                     PPOConfig(num_envs=8, rollout_steps=4, minibatches=2,
+                               epochs=1, hidden=(16, 16)), mesh=mesh)
+    # a plain restore into the bigger farm must refuse (treedef embeds size)
+    with pytest.raises(ValueError):
+        big.restore(path, big.init(jax.random.PRNGKey(1)))
+    ts_big, _ = big.train(jax.random.PRNGKey(1), num_updates=0,
+                          resume_from=path, resume_num_envs=4)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_small.params),
+                    jax.tree_util.tree_leaves(ts_big.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ts_big.env_state.obs.shape[0] == 8
+    assert int(ts_big.update_count) == 0
