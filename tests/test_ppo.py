@@ -128,3 +128,20 @@ def test_checkpoint_resume(tmp_path, learner):
     ts2, m2 = step(restored)
     ts1, m1 = step(ts)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_freeze_obs_stats(hover_env):
+    """freeze_obs_stats: stats are applied but never merged — the fine-tune
+    setting (PPOConfig docstring; measured policy-degradation rationale)."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                    hidden=(32, 32), freeze_obs_stats=True)
+    learner = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = learner.init(jax.random.PRNGKey(4))
+    before = jax.tree_util.tree_map(np.asarray, ts.obs_stats)
+    step = learner.train_step_fn()
+    ts, _ = step(ts)
+    after = jax.tree_util.tree_map(np.asarray, ts.obs_stats)
+    np.testing.assert_array_equal(before.mean, after.mean)
+    np.testing.assert_array_equal(before.var, after.var)
+    np.testing.assert_array_equal(before.count, after.count)
