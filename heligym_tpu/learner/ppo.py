@@ -105,6 +105,17 @@ class PPOConfig:
     # rollout policy exceeds this (0 = off): a jit-compatible form of
     # KL early stopping that bounds how far one train step can drift.
     target_kl: float = 0.0
+    # Freeze the ACTOR for the first N updates (critic + obs-stats still
+    # learn): the warm-start protocol. A transplanted critic badly
+    # mispredicts a fresh synchronized farm (v_loss ~700 at warm-start vs
+    # ~30 converged), so the first updates' advantages are garbage — and the
+    # resulting actor drift is invisible in KL yet fatal on a precision
+    # task: measured, 8 updates at kl~1e-4 moved the hover policy's mean
+    # action by ~0.015 (0.18 sigma of the exploration noise) and dropped
+    # deterministic episode success 0.953 -> 0.0. Let the critic re-fit
+    # first; adam moments for the actor still advance (a frozen step is a
+    # no-op on params, not the optimizer — same caveat as target_kl).
+    critic_warmup: int = 0
     # Scheduled exploration-std ceiling: the effective log-std is
     # min(learned, cap(t)) with cap decaying linearly from log_std_init to
     # `std_cap_final` over `std_cap_updates` updates. Collection, loss and
@@ -441,7 +452,21 @@ class PPOLearner:
         return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
                        "approx_kl": ((ratio - 1.0) - jnp.log(ratio)).mean()}
 
-    def _update_epoch(self, carry, _, stats, ent_coef, lr, cap):
+    # actor-side parameter names in ActorCritic (networks.py): the policy
+    # torso+head and the log-std; everything else is the critic tower
+    _ACTOR_KEYS = frozenset({"Dense_0", "Dense_1", "Dense_2", "log_std"})
+
+    def _scale_actor_updates(self, updates, s):
+        """Multiply actor-parameter updates by `s` (0.0 during critic
+        warmup), leaving critic updates untouched. Path-based so it works
+        for dict and FrozenDict param trees alike."""
+        def f(path, u):
+            names = {getattr(k, "key", None) for k in path}
+            return u * s if names & self._ACTOR_KEYS else u
+        return jax.tree_util.tree_map_with_path(f, updates)
+
+    def _update_epoch(self, carry, _, stats, ent_coef, lr, cap,
+                      actor_scale=None):
         params, opt_state, key, flat, advantages, returns = carry
         cfg = self.config
         n = advantages.shape[0]
@@ -481,6 +506,8 @@ class PPOLearner:
                 # params, not on the optimizer; acceptable for a guard rail)
                 step_lr = jnp.where(aux["approx_kl"] < cfg.target_kl, lr, 0.0)
             updates = jax.tree_util.tree_map(lambda u: -step_lr * u, updates)
+            if actor_scale is not None:
+                updates = self._scale_actor_updates(updates, actor_scale)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), {"loss": loss, **aux}
 
@@ -524,6 +551,9 @@ class PPOLearner:
                          + (cfg.std_cap_final - cfg.log_std_init) * cfrac)
             else:
                 cap_t = jnp.float32(1e9)   # min() no-op
+            actor_scale = (jnp.where(ts.update_count
+                                     < cfg.critic_warmup, 0.0, 1.0)
+                           if cfg.critic_warmup > 0 else None)
 
             es, _, traj = collect(ts.params, stats, cap_t, ts.env_state,
                                   k_roll, hmap)
@@ -536,7 +566,7 @@ class PPOLearner:
             carry = (ts.params, ts.opt_state, k_upd, flat, adv_f, ret_f)
             carry, metrics = jax.lax.scan(
                 lambda c, x: self._update_epoch(c, x, stats, ent_t, lr_t,
-                                                cap_t),
+                                                cap_t, actor_scale),
                 carry, None, length=cfg.epochs)
             params, opt_state = carry[0], carry[1]
             metrics = jax.tree_util.tree_map(lambda x: x.mean(), metrics)

@@ -127,6 +127,13 @@ def main(argv=None):
     ap.add_argument("--target-kl", type=float, default=0.0,
                     help="skip minibatch updates past this approx KL "
                          "(0 = off)")
+    ap.add_argument("--critic-warmup", type=int, default=0,
+                    help="freeze the actor for the first N updates while "
+                         "the critic (and obs stats, unless frozen) re-fit "
+                         "— REQUIRED when fine-tuning a checkpoint on a "
+                         "fresh farm: the transplanted critic's garbage "
+                         "early advantages drift the actor's mean "
+                         "invisibly in KL (see PPOConfig.critic_warmup)")
     ap.add_argument("--std-cap-updates", type=int, default=0,
                     help="anneal an exploration-std ceiling from "
                          "--log-std-init to --std-cap-final over N updates "
@@ -207,6 +214,7 @@ def main(argv=None):
                     agl_shaping=args.agl_shaping,
                     vf_clip_eps=args.vf_clip,
                     target_kl=args.target_kl,
+                    critic_warmup=args.critic_warmup,
                     std_cap_updates=args.std_cap_updates,
                     std_cap_final=args.std_cap_final)
     learner = PPOLearner(env, cfg)
