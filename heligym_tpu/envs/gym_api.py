@@ -186,13 +186,31 @@ class HeliVectorGymEnv(gym.vector.VectorEnv):
     """Gymnasium VectorEnv facade over the on-device vectorized env: familiar
     `reset()/step()` numpy interface, all simulation (incl. auto-reset) on
     device. For maximum throughput use VectorHeliEnv / the fused rollout
-    directly and keep data on device."""
+    directly and keep data on device.
+
+    Autoreset follows gymnasium's SAME_STEP convention: a terminating step
+    returns the FRESH episode's first obs, and the terminal (pre-reset)
+    observation is surfaced in `info["final_obs"]` (gymnasium >=1.0 key) and
+    `info["final_observation"]` (0.29-compat alias) with the matching
+    `_final_*` masks + per-env `final_info` dicts — so an external GAE
+    implementation bootstraps V(terminal_obs), not V(reset_obs)."""
+
+    metadata = {"autoreset_mode": gym.vector.AutoresetMode.SAME_STEP}
 
     def __init__(self, num_envs: int, heli_name: str = "aw109",
                  task: Optional[Task] = None):
-        from .vector import VectorHeliEnv
+        from .vector import VectorHeliEnv, auto_reset
         self._core = HeliEnv.build(heli_name, task=task or HoverTask())
         self._venv = VectorHeliEnv(self._core, num_envs)
+        core = self._core
+
+        def _step(es, actions):
+            new_es, out = jax.vmap(core.step)(es, actions)
+            final_obs = out.obs                     # pre-reset terminal obs
+            new_es, out = auto_reset(new_es, out)
+            return new_es, out, final_obs
+
+        self._step_jit = jax.jit(_step)
         self.num_envs = num_envs
         self.single_observation_space = spaces.Box(
             -np.inf, np.inf, shape=(OBS_DIM,), dtype=np.float32)
@@ -214,12 +232,30 @@ class HeliVectorGymEnv(gym.vector.VectorEnv):
         return np.asarray(obs), {}
 
     def step(self, actions):
-        self._state, out = self._venv.step(self._state,
-                                           jnp.asarray(actions, jnp.float32))
+        self._state, out, final_obs = self._step_jit(
+            self._state, jnp.asarray(actions, jnp.float32))
+        done = np.asarray(out.done)
+        trunc = np.asarray(out.truncated)
+        failed = np.asarray(out.failed)
+        succ = np.asarray(out.successed)
+        info = {"failed": failed, "successed": succ}
+        ended = done | trunc
+        if ended.any():
+            fo = np.asarray(final_obs)
+            obs_arr = np.full(self.num_envs, None, dtype=object)
+            info_arr = np.full(self.num_envs, None, dtype=object)
+            for i in np.nonzero(ended)[0]:
+                obs_arr[i] = fo[i]
+                info_arr[i] = {"failed": bool(failed[i]),
+                               "successed": bool(succ[i])}
+            info["final_obs"] = obs_arr
+            info["_final_obs"] = ended
+            info["final_observation"] = obs_arr        # gymnasium<1.0 alias
+            info["_final_observation"] = ended
+            info["final_info"] = info_arr
+            info["_final_info"] = ended
         return (np.asarray(out.obs), np.asarray(out.reward),
-                np.asarray(out.done), np.asarray(out.truncated),
-                {"failed": np.asarray(out.failed),
-                 "successed": np.asarray(out.successed)})
+                done, trunc, info)
 
     def close(self):
         pass

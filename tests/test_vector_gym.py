@@ -51,3 +51,32 @@ def test_randomized_reset(hover_env):
     idx = int(np.argmax(np.asarray(out.done)))
     np.testing.assert_allclose(np.asarray(out.obs[idx, 16]), alts[idx],
                                atol=2.0)
+
+def test_vector_gym_final_observation():
+    """SAME_STEP autoreset convention: a terminating step must surface the
+    pre-reset terminal obs via final_obs/final_observation (+ masks and
+    final_info) so an external GAE bootstraps off the right state."""
+    venv = HeliVectorGymEnv(4)
+    obs, info = venv.reset(seed=0)
+    dive = np.tile(np.array([-1.0, 0.0, 0.0, 0.0], np.float32), (4, 1))
+    done = np.zeros(4, bool)
+    for _ in range(600):
+        obs, rew, done, trunc, info = venv.step(dive)
+        if done.any():
+            break
+    assert done.any(), "dive never crashed"
+    for key in ("final_obs", "final_observation", "final_info",
+                "_final_obs", "_final_observation", "_final_info"):
+        assert key in info, key
+    np.testing.assert_array_equal(info["_final_observation"], done | trunc)
+    i = int(np.argmax(done))
+    fo = info["final_observation"][i]
+    assert fo is not None and fo.shape == (17,)
+    # the returned obs is the FRESH episode's first obs; the terminal one
+    # (mid-crash, near the ground) must be the different, pre-reset state
+    assert not np.allclose(fo, obs[i])
+    assert info["final_info"][i] == {"failed": True, "successed": False}
+    alive = ~(done | trunc)
+    if alive.any():
+        j = int(np.argmax(alive))
+        assert info["final_observation"][j] is None
