@@ -197,6 +197,16 @@ class PPOLearner:
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.scale_by_adam())
         self._scales = jnp.asarray(obs_scales(env.params))
+        # Actor-side parameter names, derived from the configured depth.
+        # ActorCritic (networks.py) is an nn.compact module, so flax numbers
+        # its Dense submodules in CALL order: actor torso Dense_0..Dense_{L-1},
+        # mean head Dense_L, then critic tower Dense_{L+1}..Dense_{2L+1} for
+        # L = len(hidden). Deriving the split from L (instead of a hardcoded
+        # 2-layer name set) keeps critic_warmup freezing exactly the actor at
+        # any depth; test_ppo.py::test_critic_warmup_deep pins this at L=3.
+        n_hidden = len(config.hidden)
+        self._actor_keys = frozenset(
+            {f"Dense_{i}" for i in range(n_hidden + 1)} | {"log_std"})
         self._train_step = None
         self._fused_rollout = None
 
@@ -452,17 +462,14 @@ class PPOLearner:
         return total, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
                        "approx_kl": ((ratio - 1.0) - jnp.log(ratio)).mean()}
 
-    # actor-side parameter names in ActorCritic (networks.py): the policy
-    # torso+head and the log-std; everything else is the critic tower
-    _ACTOR_KEYS = frozenset({"Dense_0", "Dense_1", "Dense_2", "log_std"})
-
     def _scale_actor_updates(self, updates, s):
         """Multiply actor-parameter updates by `s` (0.0 during critic
         warmup), leaving critic updates untouched. Path-based so it works
-        for dict and FrozenDict param trees alike."""
+        for dict and FrozenDict param trees alike; `_actor_keys` is derived
+        from the configured hidden depth in __init__."""
         def f(path, u):
             names = {getattr(k, "key", None) for k in path}
-            return u * s if names & self._ACTOR_KEYS else u
+            return u * s if names & self._actor_keys else u
         return jax.tree_util.tree_map_with_path(f, updates)
 
     def _update_epoch(self, carry, _, stats, ent_coef, lr, cap,
@@ -638,7 +645,8 @@ class PPOLearner:
               checkpoint_every: int = 100,
               resume_from: Optional[str] = None,
               fresh_farm: bool = False,
-              resume_num_envs: Optional[int] = None):
+              resume_num_envs: Optional[int] = None,
+              set_log_std: Optional[float] = None):
         """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
         obs-stats but use the freshly initialized env farm — REQUIRED when
         resuming under different initial conditions (e.g. a start-altitude
@@ -652,7 +660,17 @@ class PPOLearner:
         through a template of ITS OWN size and only the farm-size-independent
         pieces (params, optimizer moments, obs stats) are transplanted.
         Schedules restart (update_count stays 0) — a scale-up phase is a new
-        annealing regime, not a continuation."""
+        annealing regime, not a continuation.
+
+        `set_log_std`: overwrite the restored policy's learned log-std with
+        this value (std surgery). The staged-consolidation protocol for
+        precision tasks: PPO's log-std gradient is near zero once the mean is
+        good (measured: 300 updates moved it 0.01), and the std-cap schedule
+        caps only the EFFECTIVE std — the learned parameter evaluate.py
+        samples stays put. Stepping the parameter down between short
+        fine-tune stages (-2.5 -> -2.8 -> -3.1 ...) re-fits the mean at each
+        noise level and makes the stochastic policy converge to the
+        deterministic one."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
         if resume_from and resume_num_envs \
@@ -670,6 +688,11 @@ class PPOLearner:
                 restored = restored.replace(env_state=ts.env_state,
                                             key=ts.key)
             ts = restored
+        if resume_from and set_log_std is not None:
+            params = jax.tree_util.tree_map(lambda x: x, ts.params)
+            params["params"]["log_std"] = jnp.full_like(
+                params["params"]["log_std"], set_log_std)
+            ts = ts.replace(params=params)
         step = self.train_step_fn()
         history = []
         best_succ = -1.0

@@ -145,3 +145,33 @@ def test_freeze_obs_stats(hover_env):
     np.testing.assert_array_equal(before.mean, after.mean)
     np.testing.assert_array_equal(before.var, after.var)
     np.testing.assert_array_equal(before.count, after.count)
+
+
+def test_critic_warmup_deep(hover_env):
+    """critic_warmup at a NON-default depth (hidden=(64,64,64)): the derived
+    actor/critic split (ppo.py::PPOLearner.__init__) must freeze exactly the
+    actor torso+head+log_std while the critic tower moves. A hardcoded
+    2-layer name set would treat Dense_3 (the 3-layer actor's mean head) as
+    critic and let it drift during warmup."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=2,
+                    hidden=(64, 64, 64), critic_warmup=3)
+    learner = PPOLearner(hover_env, cfg, mesh=mesh)
+    n_hidden = 3
+    actor_keys = {f"Dense_{i}" for i in range(n_hidden + 1)} | {"log_std"}
+    critic_keys = {f"Dense_{i}" for i in range(n_hidden + 1, 2 * n_hidden + 2)}
+    assert learner._actor_keys == frozenset(actor_keys)
+    ts = learner.init(jax.random.PRNGKey(7))
+    before = jax.tree_util.tree_map(np.asarray, ts.params)
+    ts, _ = learner.train_step_fn()(ts)
+    after = jax.tree_util.tree_map(np.asarray, ts.params)
+    b, a = before["params"], after["params"]
+    for k in actor_keys:
+        leaf_b = b[k] if k == "log_std" else b[k]["kernel"]
+        leaf_a = a[k] if k == "log_std" else a[k]["kernel"]
+        np.testing.assert_array_equal(leaf_b, leaf_a,
+                                      err_msg=f"actor param {k} moved "
+                                              "during critic warmup")
+    moved = [k for k in critic_keys
+             if np.abs(a[k]["kernel"] - b[k]["kernel"]).max() > 0]
+    assert moved, "critic tower did not move during warmup"
