@@ -167,6 +167,10 @@ def main(argv=None):
                          "up/down on resume: restores through a template of "
                          "the checkpoint's size and transplants only params/"
                          "optimizer/obs-stats (schedules restart)")
+    ap.add_argument("--set-log-std", type=float, default=None,
+                    help="on --resume, overwrite the restored policy's "
+                         "learned log-std (std surgery for staged "
+                         "consolidation; see PPOLearner.train)")
     ap.add_argument("--fresh-farm", action="store_true",
                     help="on --resume, keep the checkpoint's network/"
                          "optimizer but re-initialize the env farm — "
@@ -232,7 +236,8 @@ def main(argv=None):
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
         fresh_farm=args.fresh_farm,
-        resume_num_envs=args.resume_num_envs)
+        resume_num_envs=args.resume_num_envs,
+        set_log_std=args.set_log_std)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
