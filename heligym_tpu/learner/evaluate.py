@@ -36,25 +36,21 @@ from .ppo import PPOConfig, PPOLearner
 from .train import TASKS, _parse_target
 
 
-def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
-             steps: int, key, stochastic: bool = False,
-             trim_cond=None, task_ids=None) -> dict:
-    """Run `episodes` fresh episodes under the checkpoint's policy; return
-    per-episode outcome stats. Pure function of (ts, key) — jit-compiled as
-    one scan, zero host round-trips until the final result fetch."""
+def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
+                   steps: int, stochastic: bool = False,
+                   trim_cond=None, task_ids=None):
+    """Build a reusable evaluator `fn(ts, key) -> stats dict`.
+
+    The jitted scan is traced ONCE and cached across calls — required for
+    in-training periodic evaluation (PPOLearner.train `eval_every`), where a
+    per-call re-trace would cost ~30 s through the TPU tunnel every time."""
     from ..envs.vector import VectorHeliEnv
     from ..ops import terrain as terrain_ops
 
     venv = VectorHeliEnv(env, episodes, auto_reset=False)
-    k_env, k_act = jax.random.split(key)
-    es0, _ = venv.reset(k_env, trim_cond)
-    if task_ids is not None:
-        es0 = venv.assign_tasks(es0, task_ids)
     hmap = terrain_ops.prep_hmap_arg(env.terrain)
-    stats = ts.obs_stats if learner.config.obs_norm else None
-    params = ts.params
 
-    def policy(obs, k):
+    def policy(params, stats, obs, k):
         mean, log_std, _ = learner.network.apply(params,
                                                  learner._norm(obs, stats))
         act = (mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
@@ -62,9 +58,9 @@ def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
         return jnp.clip(learner.act_bias + act, -1.0, 1.0)
 
     def scan_step(carry, t):
-        es, k, res = carry
+        es, k, res, params, stats = carry
         k, k_t = jax.random.split(k)
-        act = policy(es.obs, k_t)
+        act = policy(params, stats, es.obs, k_t)
         es, out = jax.vmap(env.step, in_axes=(0, 0, None))(es, act, hmap)
         alive = res["end"] < 0
         end_now = (out.done | out.truncated) & alive
@@ -77,40 +73,57 @@ def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
             "end": jnp.where(end_now, t, res["end"]),
             "reward": res["reward"] + jnp.where(alive, r, 0.0),
         }
-        return (es, k, res), None
-
-    res0 = {"succ": jnp.zeros(episodes, bool), "fail": jnp.zeros(episodes, bool),
-            "end": jnp.full(episodes, -1, jnp.int32),
-            "reward": jnp.zeros(episodes, jnp.float32)}
+        return (es, k, res, params, stats), None
 
     @jax.jit
-    def run(es, k, res):
-        (_, _, res), _ = jax.lax.scan(scan_step, (es, k, res),
-                                      jnp.arange(steps))
+    def run(params, stats, es, k):
+        res0 = {"succ": jnp.zeros(episodes, bool),
+                "fail": jnp.zeros(episodes, bool),
+                "end": jnp.full(episodes, -1, jnp.int32),
+                "reward": jnp.zeros(episodes, jnp.float32)}
+        (_, _, res, _, _), _ = jax.lax.scan(
+            scan_step, (es, k, res0, params, stats), jnp.arange(steps))
         return res
 
-    res = jax.device_get(run(es0, k_act, res0))
-    succ, fail, end = res["succ"], res["fail"], res["end"]
-    ended = end >= 0
-    out = {
-        "episodes": episodes,
-        "success_frac": float(succ.mean()),
-        "fail_frac": float(fail.mean()),
-        # time_up without the success criterion firing, or never ended
-        # within the scan horizon
-        "timeout_frac": float((~succ & ~fail).mean()),
-        "median_end_step": int(np.median(np.where(ended, end, steps))),
-        "mean_episode_reward": float((res["reward"]
-                                      / np.maximum(np.where(ended, end + 1,
-                                                            steps), 1)).mean()),
-    }
-    if task_ids is not None:
-        tid = np.asarray(task_ids)
-        for i in sorted(set(tid.tolist())):
-            m = tid == i
-            out[f"success_frac_t{i}"] = float(succ[m].mean())
-            out[f"fail_frac_t{i}"] = float(fail[m].mean())
-    return out
+    def evaluator(ts, key) -> dict:
+        k_env, k_act = jax.random.split(key)
+        es0, _ = venv.reset(k_env, trim_cond)
+        if task_ids is not None:
+            es0 = venv.assign_tasks(es0, task_ids)
+        stats = ts.obs_stats if learner.config.obs_norm else None
+        res = jax.device_get(run(ts.params, stats, es0, k_act))
+        succ, fail, end = res["succ"], res["fail"], res["end"]
+        ended = end >= 0
+        out = {
+            "episodes": episodes,
+            "success_frac": float(succ.mean()),
+            "fail_frac": float(fail.mean()),
+            # time_up without the success criterion firing, or never ended
+            # within the scan horizon
+            "timeout_frac": float((~succ & ~fail).mean()),
+            "median_end_step": int(np.median(np.where(ended, end, steps))),
+            "mean_episode_reward": float(
+                (res["reward"] / np.maximum(np.where(ended, end + 1, steps),
+                                            1)).mean()),
+        }
+        if task_ids is not None:
+            tid = np.asarray(task_ids)
+            for i in sorted(set(tid.tolist())):
+                m = tid == i
+                out[f"success_frac_t{i}"] = float(succ[m].mean())
+                out[f"fail_frac_t{i}"] = float(fail[m].mean())
+        return out
+
+    return evaluator
+
+
+def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
+             steps: int, key, stochastic: bool = False,
+             trim_cond=None, task_ids=None) -> dict:
+    """One-shot wrapper over `make_evaluator` (CLI entry point)."""
+    return make_evaluator(env, learner, episodes=episodes, steps=steps,
+                          stochastic=stochastic, trim_cond=trim_cond,
+                          task_ids=task_ids)(ts, key)
 
 
 def main(argv=None):
@@ -131,6 +144,11 @@ def main(argv=None):
                     help="scan horizon (0 = the env's 40 s wall + margin)")
     ap.add_argument("--stochastic", action="store_true",
                     help="sample the learned Gaussian instead of the mean")
+    ap.add_argument("--set-log-std", type=float, default=None,
+                    help="overwrite the checkpoint's learned log-std before "
+                         "evaluating — probes how stochastic success scales "
+                         "with noise without retraining (the std-surgery "
+                         "calibration step; see PPOLearner.train)")
     ap.add_argument("--no-center-actions", action="store_true")
     ap.add_argument("--start-alt", type=float, default=None,
                     help="initial trim altitude above ground [ft] "
@@ -167,6 +185,11 @@ def main(argv=None):
         mesh=make_env_mesh(jax.devices()[:1]))
     template = learner.init(jax.random.PRNGKey(0))
     ts = learner.restore(args.checkpoint, template)
+    if args.set_log_std is not None:
+        params = jax.tree_util.tree_map(lambda x: x, ts.params)
+        params["params"]["log_std"] = jnp.full_like(
+            params["params"]["log_std"], args.set_log_std)
+        ts = ts.replace(params=params)
 
     steps = args.steps or env.time_up_steps + 3
     result = evaluate(

@@ -646,7 +646,8 @@ class PPOLearner:
               resume_from: Optional[str] = None,
               fresh_farm: bool = False,
               resume_num_envs: Optional[int] = None,
-              set_log_std: Optional[float] = None):
+              set_log_std: Optional[float] = None,
+              eval_every: int = 0, eval_episodes: int = 64):
         """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
         obs-stats but use the freshly initialized env farm — REQUIRED when
         resuming under different initial conditions (e.g. a start-altitude
@@ -670,7 +671,17 @@ class PPOLearner:
         samples stays put. Stepping the parameter down between short
         fine-tune stages (-2.5 -> -2.8 -> -3.1 ...) re-fits the mean at each
         noise level and makes the stochastic policy converge to the
-        deterministic one."""
+        deterministic one.
+
+        `eval_every`: every N updates run the TRUE deterministic evaluator
+        (fresh episodes to first termination, evaluate.py) and best-track on
+        ITS success_frac instead of the in-training `success_ep_frac`. The
+        in-training metric is selection-biased over a sliding window (only
+        episodes that END in the rollout appear: right after a reset burst
+        the quick successes dominate, later windows only see the stragglers)
+        and PPO on this plant drifts — periodic ground-truth evaluation is
+        how a genuinely-best policy gets kept. Costs one extra compiled scan
+        per N updates; the evaluator's jit is built once and cached."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
         if resume_from and resume_num_envs \
@@ -694,10 +705,35 @@ class PPOLearner:
                 params["params"]["log_std"], set_log_std)
             ts = ts.replace(params=params)
         step = self.train_step_fn()
+        evaluator = None
+        if eval_every:
+            from .evaluate import make_evaluator
+            eval_tids = (np.arange(eval_episodes) % (int(np.max(task_ids))
+                                                     + 1)
+                         if task_ids is not None else None)
+            evaluator = make_evaluator(
+                self.env, self, episodes=eval_episodes,
+                steps=self.env.time_up_steps + 3, stochastic=False,
+                trim_cond=trim_cond, task_ids=eval_tids)
+            eval_key = jax.random.PRNGKey(1234)  # FIXED: evals comparable
         history = []
         best_succ = -1.0
         for i in range(num_updates):
             ts, metrics = step(ts)
+            if evaluator is not None and ((i + 1) % eval_every == 0
+                                          or i == num_updates - 1):
+                ev = evaluator(ts, eval_key)
+                metrics = dict(metrics)
+                metrics.update({f"eval_{k}": v for k, v in ev.items()
+                                if k != "episodes"})
+                s = ev["success_frac"]
+                print(f"  eval @ update {i + 1}: det success={s:.3f} "
+                      f"fail={ev['fail_frac']:.3f}", flush=True)
+                if checkpoint_path and s > best_succ:
+                    best_succ = s
+                    self.save(checkpoint_path + ".best.npz", ts)
+                    print(f"  saved best at update {i + 1} "
+                          f"(eval success={s:.3f})", flush=True)
             # keep the PEAK-success policy: PPO on an unstable plant can
             # unlearn a succeeding policy late in a run (observed: hover
             # success_ep 0.10 at update 130 -> 0 by 160 after one
@@ -707,7 +743,7 @@ class PPOLearner:
             # log_every-sampled check aliases against the burst cycle and
             # can miss every success window (observed on 4096-env hover:
             # sampled success_ep 0.03 while burst updates hit 0.47).
-            if checkpoint_path:
+            if checkpoint_path and evaluator is None:
                 s = float(metrics["success_ep_frac"])
                 if s > max(best_succ, 0.0):
                     best_succ = s

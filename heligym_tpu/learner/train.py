@@ -167,6 +167,13 @@ def main(argv=None):
                          "up/down on resume: restores through a template of "
                          "the checkpoint's size and transplants only params/"
                          "optimizer/obs-stats (schedules restart)")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="every N updates run the TRUE deterministic "
+                         "evaluator (fresh episodes to first termination) "
+                         "and best-track on its success_frac instead of the "
+                         "selection-biased in-training success_ep_frac "
+                         "(see PPOLearner.train)")
+    ap.add_argument("--eval-episodes", type=int, default=64)
     ap.add_argument("--set-log-std", type=float, default=None,
                     help="on --resume, overwrite the restored policy's "
                          "learned log-std (std surgery for staged "
@@ -237,7 +244,9 @@ def main(argv=None):
         resume_from=args.resume,
         fresh_farm=args.fresh_farm,
         resume_num_envs=args.resume_num_envs,
-        set_log_std=args.set_log_std)
+        set_log_std=args.set_log_std,
+        eval_every=args.eval_every,
+        eval_episodes=args.eval_episodes)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
