@@ -332,7 +332,13 @@ class NativeRenderer:
         self.renderer.add_guiText(self.gui_id, fmts, np.zeros(len(fmts)))
         self._fmts = fmts
 
-    def render(self, env_state, mode: str = "rgb_array") -> np.ndarray:
+    def render(self, env_state, mode: str = "rgb_array"):
+        if mode not in ("rgb_array", "human"):
+            raise ValueError(f"unsupported render mode {mode!r} "
+                             "(rgb_array | human)")
+        if mode == "human":
+            self._ensure_viewer()     # raises RuntimeError when headless
+            self._pump_viewer_keys()  # fly-cam events BEFORE camera update
         heli = env_state.heli
         xyz = np.asarray(heli.xyz, np.float32).reshape(-1, 3)[0]
         euler = np.asarray(heli.euler, np.float32).reshape(-1, 3)[0]
@@ -352,7 +358,9 @@ class NativeRenderer:
         r.translate_model(self.heli_obj, x_m, y_m, z_m)
         r.rotate_model(self.heli_obj, float(euler[0]), float(euler[1]),
                        float(euler[2]))
-        if self.camera_mode == "orbit":
+        if self._fly_cam:
+            pass  # free camera: keyboard/arrow events own the pose
+        elif self.camera_mode == "orbit":
             # slow cinematic orbit around the heli (uses the same pose API a
             # caller-driven fly-cam would; see process_mouse/process_keyboard)
             ang = 2.0 * math.pi * (self._frame / max(self.orbit_frames, 1))
@@ -362,12 +370,58 @@ class NativeRenderer:
             # chase camera 30 m east of the heli (helicopter.py:175-177),
             # looking at it
             r.set_camera_pos(x_m, y_m + 30.0, z_m)
-        r.look_at(x_m, y_m, z_m)
+        if not self._fly_cam:
+            r.look_at(x_m, y_m, z_m)
         self._frame += 1
         if not r.is_visible():
             r.show_window()
         r.render()
-        return r.get_frame()
+        frame = r.get_frame()
+        if mode == "human":
+            self._viewer.show(frame)
+            return None   # gymnasium: human mode renders for a human,
+        return frame      # returns nothing; rgb_array returns the frame
+
+    # ------------------------------------------------- human-mode viewer
+    # The reference's human mode is a GLFW window whose mouse/scroll
+    # callbacks drive Camera::ProcessMouseMovement/Scroll
+    # (gWindow.cpp:260-309). Headless TPU pods have no X server, so human
+    # mode here is an in-terminal viewer (render/terminal_viewer.py) whose
+    # raw-mode keyboard drives the SAME camera_process_* C API.
+    _fly_cam = False
+    _viewer = None
+    viewer_quit = False   # latched when the user presses q
+
+    def _ensure_viewer(self, **kw):
+        if self._viewer is None:
+            from .terminal_viewer import TerminalViewer
+            self._viewer = TerminalViewer(**kw)
+            self.renderer.set_fps(0.0)  # viewer owns pacing
+
+    def _pump_viewer_keys(self):
+        r = self.renderer
+        dt = 1.0 / max(self._viewer.fps, 1e-6)
+        for key in self._viewer.poll_keys():
+            if key == "q":
+                self.viewer_quit = True
+            elif key == "c":
+                self._fly_cam = not self._fly_cam
+            elif key in ("w", "a", "s", "d", "r", "f"):
+                self._fly_cam = True
+                from .terminal_viewer import _KEY_DIRECTIONS
+                r.process_keyboard(_KEY_DIRECTIONS[key], dt)
+            elif key in ("up", "down", "left", "right"):
+                self._fly_cam = True
+                dx = {"left": -10.0, "right": 10.0}.get(key, 0.0)
+                dy = {"up": 10.0, "down": -10.0}.get(key, 0.0)
+                r.process_mouse(dx, dy)
+            elif key in ("+", "="):
+                r.process_scroll(1.0)
+            elif key == "-":
+                r.process_scroll(-1.0)
 
     def close(self):
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
         self.renderer.terminate()
