@@ -647,7 +647,8 @@ class PPOLearner:
               fresh_farm: bool = False,
               resume_num_envs: Optional[int] = None,
               set_log_std: Optional[float] = None,
-              eval_every: int = 0, eval_episodes: int = 64):
+              eval_every: int = 0, eval_episodes: int = 64,
+              eval_env: Optional[HeliEnv] = None):
         """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
         obs-stats but use the freshly initialized env farm — REQUIRED when
         resuming under different initial conditions (e.g. a start-altitude
@@ -681,7 +682,12 @@ class PPOLearner:
         the quick successes dominate, later windows only see the stragglers)
         and PPO on this plant drifts — periodic ground-truth evaluation is
         how a genuinely-best policy gets kept. Costs one extra compiled scan
-        per N updates; the evaluator's jit is built once and cached."""
+        per N updates; the evaluator's jit is built once and cached.
+
+        `eval_env`: environment to EVALUATE in when it differs from the
+        training env — the selection side of a robustness curriculum
+        (e.g. train at turbulence level 3, select/report at the nominal
+        level 1). Defaults to the training env."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
         if resume_from and resume_num_envs \
@@ -711,9 +717,10 @@ class PPOLearner:
             eval_tids = (np.arange(eval_episodes) % (int(np.max(task_ids))
                                                      + 1)
                          if task_ids is not None else None)
+            e_env = eval_env or self.env
             evaluator = make_evaluator(
-                self.env, self, episodes=eval_episodes,
-                steps=self.env.time_up_steps + 3, stochastic=False,
+                e_env, self, episodes=eval_episodes,
+                steps=e_env.time_up_steps + 3, stochastic=False,
                 trim_cond=trim_cond, task_ids=eval_tids)
             eval_key = jax.random.PRNGKey(1234)  # FIXED: evals comparable
         history = []

@@ -167,6 +167,11 @@ def main(argv=None):
                          "up/down on resume: restores through a template of "
                          "the checkpoint's size and transplants only params/"
                          "optimizer/obs-stats (schedules restart)")
+    ap.add_argument("--turb-level", type=int, default=None,
+                    help="override the Dryden turbulence level (1..7) for "
+                         "TRAINING only — the periodic evaluator still runs "
+                         "at the model's nominal level (train hard, test "
+                         "easy: hardens hover against gust-tail failures)")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="every N updates run the TRUE deterministic "
                          "evaluator (fresh episodes to first termination) "
@@ -212,6 +217,17 @@ def main(argv=None):
             task = task.with_target(**updates)
         env = env.replace(task=task)
         label += f"@{args.target}"
+    eval_env = None
+    if args.turb_level is not None:
+        # robustness curriculum: TRAIN under stronger Dryden turbulence,
+        # select/report at the model's nominal level (aw109.yaml TURB_LVL=1,
+        # MIL-HDBK-1797 scale 1..7). Mean wind is unchanged, so the trim
+        # (and its disk cache) is shared between the two envs.
+        import dataclasses as _dc
+        eval_env = env
+        env = env.replace(wind_params=_dc.replace(
+            env.wind_params, turbulence_level=args.turb_level))
+        label += f"+turb{args.turb_level}"
     cfg = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
                     lr=args.lr, gamma=args.gamma, ent_coef=args.ent_coef,
                     epochs=args.epochs, minibatches=args.minibatches,
@@ -246,7 +262,8 @@ def main(argv=None):
         resume_num_envs=args.resume_num_envs,
         set_log_std=args.set_log_std,
         eval_every=args.eval_every,
-        eval_episodes=args.eval_episodes)
+        eval_episodes=args.eval_episodes,
+        eval_env=eval_env)
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
