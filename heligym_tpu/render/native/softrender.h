@@ -171,6 +171,11 @@ struct Window {
 
 // model factories ------------------------------------------------------
 Model* load_obj(const std::string& path);
+// Zero-dependency image loaders (PPM P6, TGA 24/32-bit raw+RLE, BMP 24-bit
+// BI_RGB) behind a path-keyed cache — the equivalent of the reference's
+// stb_image-backed texture cache (model.cpp:225-296). Returns nullptr when
+// the file is missing or the format unsupported.
+const Texture* texture_cache_get(const std::string& path);
 Model* make_procedural_heli();
 Model* make_sky_dome();
 Model* make_terrain(const float* hmap, int h, int w, float ns_size_m,

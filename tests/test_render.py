@@ -180,3 +180,65 @@ def test_native_human_mode(hover_env, hover_trim, monkeypatch):
     assert r.viewer_quit
     r.close()
     os.close(master), os.close(slave)
+
+
+def test_obj_mtl_texture_loading(tmp_path):
+    """OBJ loader with MTL materials + diffuse textures (reference
+    model.cpp:225-296, mesh.cpp:15-52): a textured quad renders its texture
+    colors; the same quad without a material renders the flat default."""
+    from heligym_tpu.render.native_api import Renderer, native_available
+    if not native_available():
+        pytest.skip("native renderer not built (no compiler?)")
+    # 2x1 PPM: left texel green, right texel blue
+    (tmp_path / "tex.ppm").write_bytes(b"P6\n2 1\n255\n" +
+                                       bytes([0, 255, 0, 0, 0, 255]))
+    (tmp_path / "quad.mtl").write_text(
+        "newmtl skin\nKd 1 1 1\nmap_Kd tex.ppm\n")
+    quad = ("v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\n"
+            "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+            "f 1/1 2/2 3/3 4/4\n")
+    (tmp_path / "tex.obj").write_text("mtllib quad.mtl\nusemtl skin\n" + quad)
+    (tmp_path / "flat.obj").write_text(quad)
+
+    def render_one(name):
+        r = Renderer(96, 96)
+        m = r.create_model(abs_path=str(tmp_path / name))
+        assert m, f"load_obj failed for {name}"
+        r.add_permanent_object_to_window(m)
+        r.set_camera_pos(0.0, 2.5, 0.0)   # NED: 2.5 m south of the quad
+        r.look_at(0.0, 0.0, 0.0)
+        r.render()
+        frame = r.get_frame()
+        r.terminate()
+        return frame
+
+    tex_frame = render_one("tex.obj").astype(int)
+    flat_frame = render_one("flat.obj").astype(int)
+    quad = (tex_frame != flat_frame).any(axis=-1)   # background is identical
+    assert quad.any()
+    # texture content on the quad: green-dominant AND blue-dominant pixels
+    g = quad & (tex_frame[..., 1] > tex_frame[..., 0] + 40) \
+        & (tex_frame[..., 1] > tex_frame[..., 2] + 40)
+    b = quad & (tex_frame[..., 2] > tex_frame[..., 0] + 40) \
+        & (tex_frame[..., 2] > tex_frame[..., 1] + 40)
+    assert g.any() and b.any(), (int(g.sum()), int(b.sum()))
+    # the flat quad is the untextured default red, never green-dominant
+    fg = quad & (flat_frame[..., 1] > flat_frame[..., 0] + 40)
+    assert not fg.any()
+
+
+def test_procedural_heli_livery(hover_env, hover_trim):
+    """The procedural heli goes through the same per-mesh texture path: its
+    livery (white cheat line, dark canopy) must produce more distinct body
+    colors than a flat-colored body would."""
+    from heligym_tpu.render.native_api import NativeRenderer, native_available
+    if not native_available():
+        pytest.skip("native renderer not built (no compiler?)")
+    es = _reset_state(hover_env, hover_trim)
+    r = NativeRenderer(hover_env, 320, 240)
+    frame = r.render(es)
+    # near-white cheat-line pixels exist on screen away from the HUD area
+    body = frame[90:, :]
+    white = (body > 190).all(axis=-1)
+    assert white.any(), "livery cheat line not visible"
+    r.close()
