@@ -49,6 +49,24 @@ def default_cond_sampler(key, n):
             "psi_tr": psi[:, 1]}
 
 
+def make_alt_band_sampler(lo: float, hi: float):
+    """Cond sampler that randomizes ONLY the start altitude (uniform
+    [lo, hi] ft AGL), keeping the default hover-trim condition otherwise
+    (env.default_trim_cond: zero speed/yaw, map origin). The landing
+    curriculum's in-distribution anchor: a fixed --start-alt stage leaves
+    every altitude above it out of distribution, so the policy hovers
+    instead of descending when started higher (measured: the 25-ft policy
+    times out 92% from 35 ft without ever descending); a band keeps known
+    descents in every rollout while the upper edge extends the behavior."""
+    def sampler(key, n):
+        gr_alt = jax.random.uniform(key, (n,), minval=lo, maxval=hi)
+        z = jnp.zeros(n)
+        return {"yaw": z, "yaw_rate": z,
+                "ned_vel": jnp.zeros((n, 3)), "gr_alt": gr_alt,
+                "xy": jnp.zeros((n, 2)), "psi_mr": z, "psi_tr": z}
+    return sampler
+
+
 def _parse_target(spec: str, env) -> dict:
     """'k=v,...' task-target overrides; the value 'start' resolves to the
     default trim condition's start altitude (terrain + gear touch + 100 ft
@@ -167,6 +185,13 @@ def main(argv=None):
                          "up/down on resume: restores through a template of "
                          "the checkpoint's size and transplants only params/"
                          "optimizer/obs-stats (schedules restart)")
+    ap.add_argument("--rand-start-alt", type=str, default=None,
+                    metavar="LO:HI",
+                    help="randomize each env's start altitude uniformly in "
+                         "[LO, HI] ft AGL via the on-device batched trim "
+                         "(landing curriculum band; overrides --start-alt "
+                         "for the farm — the periodic evaluator still uses "
+                         "--start-alt)")
     ap.add_argument("--turb-level", type=int, default=None,
                     help="override the Dryden turbulence level (1..7) for "
                          "TRAINING only — the periodic evaluator still runs "
@@ -254,7 +279,11 @@ def main(argv=None):
         log_every=args.log_every,
         trim_cond=({"gr_alt": args.start_alt}
                    if args.start_alt is not None else None),
-        cond_sampler=default_cond_sampler if args.randomized_resets else None,
+        cond_sampler=(make_alt_band_sampler(
+                          *(float(v) for v in args.rand_start_alt.split(":")))
+                      if args.rand_start_alt
+                      else default_cond_sampler if args.randomized_resets
+                      else None),
         task_ids=task_ids,
         checkpoint_path=args.checkpoint,
         resume_from=args.resume,
