@@ -95,6 +95,16 @@ class PPOConfig:
     # discovery barrier (a hover-trained policy never finds the ground by
     # sigma=0.08 exploration; observed: landing runs hover indefinitely).
     agl_shaping: float = 0.0
+    # Potential-based FLARE shaping (landing): Phi = -|down_velocity|
+    # * exp(-alt_above_ground / flare_scale) — pays for killing descent rate
+    # near the ground and charges for carrying it there. Same telescoping
+    # guarantee as agl_shaping (any pure state function is a valid
+    # potential). Motivation (measured, round 3): policies descending from
+    # above their training band arrive at the gear window at 6-13 ft/s and
+    # enter a bounce limit-cycle on the bidirectional gear spring instead of
+    # settling; the flare potential makes the arrival speed itself costly.
+    flare_shaping: float = 0.0
+    flare_scale: float = 10.0   # [ft] e-folding altitude of the flare zone
     # Value-loss clipping range; 0 disables value clipping. The default 0.2
     # matches clip_eps, which is calibrated for O(1) returns — with
     # success-bonus shaping, returns reach O(1/(1-gamma)) and a 0.2 clip
@@ -406,15 +416,23 @@ class PPOLearner:
         cfg = self.config
 
         shaping = jnp.zeros_like(traj.reward)
-        if cfg.agl_shaping != 0.0:
-            # potential-based: coef * (gamma * Phi(s_{t+1}) - Phi(s_t)),
-            # Phi = -alt_above_ground; obs[t+1] is post-reset so boundary
-            # transitions are gated off (their next obs is a new episode's)
-            phi = -traj.obs[..., 16]
-            phi_next = jnp.concatenate([phi[1:], phi[-1:]], axis=0)
+        if cfg.agl_shaping != 0.0 or cfg.flare_shaping != 0.0:
+            # potential-based: coef * (gamma * Phi(s_{t+1}) - Phi(s_t));
+            # obs[t+1] is post-reset so boundary transitions are gated off
+            # (their next obs is a new episode's)
             intra = ((1.0 - traj.terminated) * (1.0 - traj.truncated)
                      ).at[-1].set(0.0)
-            shaping = cfg.agl_shaping * intra * (cfg.gamma * phi_next - phi)
+
+            def telescope(phi):
+                phi_next = jnp.concatenate([phi[1:], phi[-1:]], axis=0)
+                return intra * (cfg.gamma * phi_next - phi)
+
+            if cfg.agl_shaping != 0.0:   # Phi = -alt_above_ground
+                shaping += cfg.agl_shaping * telescope(-traj.obs[..., 16])
+            if cfg.flare_shaping != 0.0:  # Phi = -|w| * exp(-agl/scale)
+                phi_f = -jnp.abs(traj.obs[..., 3]) * jnp.exp(
+                    -traj.obs[..., 16] / cfg.flare_scale)
+                shaping += cfg.flare_shaping * telescope(phi_f)
 
         def scan_back(gae, tr_and_sh):
             tr, sh = tr_and_sh

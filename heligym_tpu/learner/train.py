@@ -139,6 +139,13 @@ def main(argv=None):
     ap.add_argument("--agl-shaping", type=float, default=0.0,
                     help="potential-based descent shaping coefficient "
                          "(landing; Phi = -alt-above-ground)")
+    ap.add_argument("--flare-shaping", type=float, default=0.0,
+                    help="potential-based flare shaping coefficient "
+                         "(landing; Phi = -|down_vel| * exp(-agl/scale): "
+                         "pays for killing descent rate near the ground — "
+                         "breaks the gear-window bounce limit-cycle)")
+    ap.add_argument("--flare-scale", type=float, default=10.0,
+                    help="e-folding altitude [ft] of the flare zone")
     ap.add_argument("--vf-clip", type=float, default=0.2,
                     help="value-loss clip range (0 = no value clipping; "
                          "use 0 with --success-bonus, returns are O(100))")
@@ -264,6 +271,8 @@ def main(argv=None):
                     success_bonus=args.success_bonus,
                     fail_penalty=args.fail_penalty,
                     agl_shaping=args.agl_shaping,
+                    flare_shaping=args.flare_shaping,
+                    flare_scale=args.flare_scale,
                     vf_clip_eps=args.vf_clip,
                     target_kl=args.target_kl,
                     critic_warmup=args.critic_warmup,

@@ -118,6 +118,28 @@ def test_shaped_gae_finite(hover_env):
                                float(m0["reward_mean"]), rtol=1e-5)
 
 
+def test_flare_shaping_training_only(hover_env):
+    """Flare potential (Phi = -|down_vel| * exp(-agl/scale)) keeps the train
+    step finite and, like every shaping term, never leaks into the reported
+    env reward."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                    hidden=(16, 16), flare_shaping=20.0, flare_scale=10.0,
+                    vf_clip_eps=0.0)
+    l = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = l.init(jax.random.PRNGKey(6))
+    ts, m = l.train_step_fn()(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    cfg0 = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                     hidden=(16, 16))
+    l0 = PPOLearner(hover_env, cfg0, mesh=mesh)
+    ts0 = l0.init(jax.random.PRNGKey(6))
+    ts0, m0 = l0.train_step_fn()(ts0)
+    np.testing.assert_allclose(float(m["reward_mean"]),
+                               float(m0["reward_mean"]), rtol=1e-5)
+
+
 def test_checkpoint_resume(tmp_path, learner):
     ts = learner.init(jax.random.PRNGKey(4))
     step = learner.train_step_fn()
