@@ -58,7 +58,7 @@ def main():
     tr = env.trim_result()
     records = []
     for fused in (True, False):
-        for n in (1024, 4096, 16384):
+        for n in (1024, 4096, 8192, 16384):
             try:
                 sps = measure(env, tr, n, args.steps, args.reps, fused)
                 rec = {"path": "fused" if fused else "xla", "num_envs": n,
