@@ -1,0 +1,250 @@
+"""Self-imitation distillation: clone SUCCESSFUL stochastic episodes into
+the deterministic mean policy.
+
+    python -m heligym_tpu.learner.distill --checkpoint land.npz \
+        --task landing --target touch_alt=ground --train-num-envs 2048 \
+        --band 6:55 --episodes 2048 --rounds 4 --out distilled.npz
+
+Why this exists (measured, docs/TRAINING.md "the landing problem"): on the
+landing task the stochastic policy succeeds at 0.5-0.7 while its own MEAN
+succeeds at ~0.05 — the exploration dither is load-bearing (it supplies the
+high-frequency station-keeping the frictionless gear contact needs, and it
+kicks the policy out of the hover attractor above the pad). PPO's gradient
+keeps paying the stochastic behavior, so the gap never closes from PPO alone.
+
+The fix is the selection effect: in episodes that SUCCEEDED, the noise was
+not white — conditioned on success, the executed action correlates with the
+state (when drifting up, the successful episodes are the ones whose noise
+pushed down). Regressing the mean onto the EXECUTED actions of successful
+episodes (reward-filtered behavior cloning, as in self-imitation learning /
+reward-weighted regression) distills that state-conditioned correlation into
+a deterministic feedback law. Iterating collect -> clone (DAgger-style, each
+round collecting from the updated policy + its noise) walks the mean toward
+a policy whose own deterministic rollout lands.
+
+Only the ACTOR tower is regressed (ActorCritic's actor and critic are
+separate MLPs, ppo.py:213-219): the critic and log_std are untouched, so a
+follow-up PPO polish can resume from the distilled checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..envs import HeliEnv
+from ..envs.vector import VectorHeliEnv
+from ..ops import terrain as terrain_ops
+from ..parallel.mesh import make_env_mesh
+from .ppo import PPOConfig, PPOLearner
+from .evaluate import make_evaluator
+from .train import TASKS, _parse_target, make_alt_band_sampler, \
+    make_alt_grid_sampler
+
+
+def collect_successful(env: HeliEnv, learner: PPOLearner, ts, *,
+                       episodes: int, steps: int, key, cond_sampler,
+                       log_std_override=None):
+    """Roll `episodes` stochastic episodes; return (obs, residual, weight)
+    with weight>0 only on pre-termination steps of SUCCESSFUL episodes.
+
+    The regression target is the executed action re-expressed as the
+    pre-bias residual (executed - act_bias): cloning it makes
+    clip(act_bias + mean(obs)) reproduce the executed action exactly.
+    """
+    venv = VectorHeliEnv(env, episodes, auto_reset=False)
+    hmap = terrain_ops.prep_hmap_arg(env.terrain)
+    params = ts.params
+    if log_std_override is not None:
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["params"]["log_std"] = jnp.full_like(
+            params["params"]["log_std"], log_std_override)
+    stats = ts.obs_stats if learner.config.obs_norm else None
+
+    def scan_step(carry, t):
+        es, k, res = carry
+        k, k_t = jax.random.split(k)
+        obs = es.obs
+        mean, log_std, _ = learner.network.apply(
+            params, learner._norm(obs, stats))
+        noise = jax.random.normal(k_t, mean.shape)
+        executed = jnp.clip(learner.act_bias + mean
+                            + jnp.exp(log_std) * noise, -1.0, 1.0)
+        es, out = jax.vmap(env.step, in_axes=(0, 0, None))(es, executed, hmap)
+        alive = res["end"] < 0
+        end_now = (out.done | out.truncated) & alive
+        res = {"succ": res["succ"] | (end_now & out.successed),
+               "end": jnp.where(end_now, t, res["end"])}
+        return (es, k, res), (obs, executed - learner.act_bias, alive)
+
+    @jax.jit
+    def run(es, k):
+        res0 = {"succ": jnp.zeros(episodes, bool),
+                "end": jnp.full(episodes, -1, jnp.int32)}
+        (_, _, res), (obs, resid, alive) = jax.lax.scan(
+            scan_step, (es, k, res0), jnp.arange(steps))
+        # (T, B) weights: alive steps of successful episodes
+        w = alive & res["succ"][None, :]
+        return obs, resid, w.astype(jnp.float32), res["succ"]
+
+    k_env, k_act = jax.random.split(key)
+    es0, _ = venv.reset_randomized(k_env, cond_sampler)
+    obs, resid, w, succ = run(es0, k_act)
+    return obs, resid, w, float(jnp.mean(succ.astype(jnp.float32)))
+
+
+def bc_fit(learner: PPOLearner, ts, obs, resid, w, *, epochs: int,
+           lr: float, minibatch: int, key):
+    """Weighted-MSE regression of the actor mean onto executed residuals.
+    Gradients are masked to the actor tower (minus log_std, which the MSE
+    loss never touches anyway); critic parameters stay bit-identical."""
+    T, B = w.shape
+    obs = obs.reshape(T * B, -1)
+    resid = resid.reshape(T * B, -1)
+    w = w.reshape(T * B)
+    stats = ts.obs_stats if learner.config.obs_norm else None
+    n = obs.shape[0]
+    nb = max(n // minibatch, 1)
+    n_used = nb * minibatch
+
+    tx = optax.adam(lr)
+    # freeze everything but the actor tower: masking the UPDATES (not just
+    # the grads) keeps adam moments for frozen leaves at exactly zero
+    actor = learner._actor_keys - {"log_std"}
+
+    def mask_updates(updates):
+        def mask(path, u):
+            names = {getattr(p, "key", None) for p in path}
+            return u if names & actor else jnp.zeros_like(u)
+        return jax.tree_util.tree_map_with_path(mask, updates)
+
+    def loss_fn(params, o, r, ww):
+        mean, _, _ = learner.network.apply(params, learner._norm(o, stats))
+        per = jnp.sum((mean - r) ** 2, axis=-1)
+        return jnp.sum(ww * per) / (jnp.sum(ww) + 1e-8)
+
+    @jax.jit
+    def epoch(params, opt_state, k):
+        perm = jax.random.permutation(k, n)[:n_used].reshape(nb, minibatch)
+
+        def mb(carry, idx):
+            params, opt_state = carry
+            l, g = jax.value_and_grad(loss_fn)(params, obs[idx], resid[idx],
+                                               w[idx])
+            upd, opt_state = tx.update(g, opt_state, params)
+            upd = mask_updates(upd)
+            params = optax.apply_updates(params, upd)
+            return (params, opt_state), l
+
+        (params, opt_state), losses = jax.lax.scan(mb, (params, opt_state),
+                                                   perm)
+        return params, opt_state, jnp.mean(losses)
+
+    params = ts.params
+    opt_state = tx.init(params)
+    for e in range(epochs):
+        key, k_e = jax.random.split(key)
+        params, opt_state, l = epoch(params, opt_state, k_e)
+    return ts.replace(params=params), float(l)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--task", choices=sorted(TASKS), default="landing")
+    ap.add_argument("--target", default=None)
+    ap.add_argument("--train-num-envs", type=int, default=512,
+                    help="the checkpoint's training num_envs (restore "
+                         "template shape)")
+    ap.add_argument("--band", type=str, default="6:55", metavar="LO:HI",
+                    help="start-altitude band: collection samples it "
+                         "uniformly, evaluation grids it")
+    ap.add_argument("--episodes", type=int, default=2048,
+                    help="stochastic episodes collected per round")
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="DAgger-style collect->clone rounds (collection "
+                         "re-runs under the UPDATED policy each round)")
+    ap.add_argument("--epochs", type=int, default=8,
+                    help="BC epochs over the collected dataset per round")
+    ap.add_argument("--bc-lr", type=float, default=3e-4)
+    ap.add_argument("--minibatch", type=int, default=65536)
+    ap.add_argument("--collect-log-std", type=float, default=None,
+                    help="sample collection actions at this log-std instead "
+                         "of the checkpoint's parameter")
+    ap.add_argument("--eval-episodes", type=int, default=256)
+    ap.add_argument("--no-center-actions", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True,
+                    help="output checkpoint; '<out>.best.npz' keeps the "
+                         "round with the highest deterministic band success")
+    ap.add_argument("--metrics-out", default=None)
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    env = HeliEnv.build("aw109", task=TASKS[args.task]())
+    if args.target:
+        env = env.replace(task=env.task.with_target(
+            **_parse_target(args.target, env)))
+    learner = PPOLearner(
+        env, PPOConfig(num_envs=args.train_num_envs,
+                       center_actions=not args.no_center_actions),
+        mesh=make_env_mesh(jax.devices()[:1]))
+    ts = learner.restore(args.checkpoint, learner.init(jax.random.PRNGKey(0)))
+
+    lo, hi = (float(v) for v in args.band.split(":"))
+    band = make_alt_band_sampler(lo, hi)
+    grid = make_alt_grid_sampler(lo, hi)
+    steps = env.time_up_steps + 3
+    evaluator = make_evaluator(env, learner, episodes=args.eval_episodes,
+                               steps=steps, cond_sampler=grid)
+    key = jax.random.PRNGKey(args.seed)
+    eval_key = jax.random.PRNGKey(1234)
+
+    r0 = evaluator(ts, eval_key)
+    print(f"round 0 (input): det band success={r0['success_frac']:.3f} "
+          f"fail={r0['fail_frac']:.3f}", flush=True)
+    best, best_ts = r0["success_frac"], ts
+    history = [{"round": 0, **r0}]
+
+    for rnd in range(1, args.rounds + 1):
+        key, k_c, k_b = jax.random.split(key, 3)
+        obs, resid, w, succ = collect_successful(
+            env, learner, ts, episodes=args.episodes, steps=steps,
+            key=k_c, cond_sampler=band,
+            log_std_override=args.collect_log_std)
+        kept = float(jnp.sum(w))
+        print(f"round {rnd}: collected {args.episodes} episodes, "
+              f"stochastic success={succ:.3f}, {kept:.0f} cloned steps",
+              flush=True)
+        if kept < 1.0:
+            print("no successful episodes - stopping", flush=True)
+            break
+        ts, l = bc_fit(learner, ts, obs, resid, w, epochs=args.epochs,
+                       lr=args.bc_lr, minibatch=args.minibatch, key=k_b)
+        ev = evaluator(ts, eval_key)
+        print(f"round {rnd}: bc_loss={l:.5f} det band "
+              f"success={ev['success_frac']:.3f} "
+              f"fail={ev['fail_frac']:.3f}", flush=True)
+        history.append({"round": rnd, "stoch_success": succ,
+                        "bc_loss": l, **ev})
+        if ev["success_frac"] > best:
+            best, best_ts = ev["success_frac"], ts
+            learner.save(args.out + ".best.npz", best_ts)
+            print(f"  saved best (round {rnd}, success={best:.3f})",
+                  flush=True)
+
+    learner.save(args.out, ts)
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump({"config": vars(args), "history": history}, f)
+    print(f"final det band success={best:.3f} -> {args.out}.best.npz")
+
+
+if __name__ == "__main__":
+    main()

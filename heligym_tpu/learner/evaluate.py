@@ -38,7 +38,7 @@ from .train import TASKS, _parse_target
 
 def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
                    steps: int, stochastic: bool = False,
-                   trim_cond=None, task_ids=None):
+                   trim_cond=None, task_ids=None, cond_sampler=None):
     """Build a reusable evaluator `fn(ts, key) -> stats dict`.
 
     The jitted scan is traced ONCE and cached across calls — required for
@@ -87,7 +87,17 @@ def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
 
     def evaluator(ts, key) -> dict:
         k_env, k_act = jax.random.split(key)
-        es0, _ = venv.reset(k_env, trim_cond)
+        if cond_sampler is not None:
+            # per-episode initial conditions through the on-device batched
+            # Newton trim — e.g. a deterministic altitude GRID across a
+            # training band, so best-tracking selects the policy that
+            # generalizes over the band instead of overfitting the single
+            # --start-alt point (measured: single-point selection produced a
+            # det policy succeeding at 6 and 50 ft but hover-timing-out at
+            # 15-25 ft and crashing at 35 ft)
+            es0, _ = venv.reset_randomized(k_env, cond_sampler)
+        else:
+            es0, _ = venv.reset(k_env, trim_cond)
         if task_ids is not None:
             es0 = venv.assign_tasks(es0, task_ids)
         stats = ts.obs_stats if learner.config.obs_norm else None
@@ -119,11 +129,12 @@ def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
 
 def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
              steps: int, key, stochastic: bool = False,
-             trim_cond=None, task_ids=None) -> dict:
+             trim_cond=None, task_ids=None, cond_sampler=None) -> dict:
     """One-shot wrapper over `make_evaluator` (CLI entry point)."""
     return make_evaluator(env, learner, episodes=episodes, steps=steps,
                           stochastic=stochastic, trim_cond=trim_cond,
-                          task_ids=task_ids)(ts, key)
+                          task_ids=task_ids,
+                          cond_sampler=cond_sampler)(ts, key)
 
 
 def main(argv=None):
@@ -153,6 +164,11 @@ def main(argv=None):
     ap.add_argument("--start-alt", type=float, default=None,
                     help="initial trim altitude above ground [ft] "
                          "(match training)")
+    ap.add_argument("--start-band", type=str, default=None, metavar="LO:HI",
+                    help="evaluate on a deterministic linspace(LO, HI) "
+                         "start-altitude grid (one altitude per episode, "
+                         "batched on-device trim) instead of a single "
+                         "--start-alt — reports band-wide generalization")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
@@ -192,12 +208,17 @@ def main(argv=None):
         ts = ts.replace(params=params)
 
     steps = args.steps or env.time_up_steps + 3
+    cond_sampler = None
+    if args.start_band:
+        from .train import make_alt_grid_sampler
+        cond_sampler = make_alt_grid_sampler(
+            *(float(v) for v in args.start_band.split(":")))
     result = evaluate(
         env, learner, ts, episodes=args.episodes, steps=steps,
         key=jax.random.PRNGKey(args.seed), stochastic=args.stochastic,
         trim_cond=({"gr_alt": args.start_alt}
                    if args.start_alt is not None else None),
-        task_ids=task_ids)
+        task_ids=task_ids, cond_sampler=cond_sampler)
     result = {"checkpoint": args.checkpoint,
               "policy": "stochastic" if args.stochastic else "mean",
               "seed": args.seed, **result}

@@ -666,7 +666,8 @@ class PPOLearner:
               resume_num_envs: Optional[int] = None,
               set_log_std: Optional[float] = None,
               eval_every: int = 0, eval_episodes: int = 64,
-              eval_env: Optional[HeliEnv] = None):
+              eval_env: Optional[HeliEnv] = None,
+              eval_cond_sampler=None):
         """`fresh_farm`: on resume, keep the checkpoint's params/optimizer/
         obs-stats but use the freshly initialized env farm — REQUIRED when
         resuming under different initial conditions (e.g. a start-altitude
@@ -705,7 +706,12 @@ class PPOLearner:
         `eval_env`: environment to EVALUATE in when it differs from the
         training env — the selection side of a robustness curriculum
         (e.g. train at turbulence level 3, select/report at the nominal
-        level 1). Defaults to the training env."""
+        level 1). Defaults to the training env.
+
+        `eval_cond_sampler`: per-episode initial conditions for the periodic
+        evaluator (batched on-device trim), e.g. a deterministic altitude
+        grid across a training band — selection then rewards band-wide
+        generalization instead of the single `trim_cond` point."""
         ts = self.init(key, trim_cond, cond_sampler=cond_sampler,
                        task_ids=task_ids)
         if resume_from and resume_num_envs \
@@ -739,7 +745,8 @@ class PPOLearner:
             evaluator = make_evaluator(
                 e_env, self, episodes=eval_episodes,
                 steps=e_env.time_up_steps + 3, stochastic=False,
-                trim_cond=trim_cond, task_ids=eval_tids)
+                trim_cond=trim_cond, task_ids=eval_tids,
+                cond_sampler=eval_cond_sampler)
             eval_key = jax.random.PRNGKey(1234)  # FIXED: evals comparable
         history = []
         best_succ = -1.0

@@ -67,6 +67,23 @@ def make_alt_band_sampler(lo: float, hi: float):
     return sampler
 
 
+def make_alt_grid_sampler(lo: float, hi: float):
+    """Deterministic start-altitude GRID (linspace [lo, hi], key ignored) for
+    the periodic evaluator: with band training (`make_alt_band_sampler`), a
+    single-point eval selects a policy overfit to that altitude (measured: a
+    50-ft-selected policy succeeded at 6 and 50 ft but hover-timed-out at
+    15-25 ft and crashed at 35 ft); an evenly spaced grid makes best-tracking
+    reward the whole band."""
+    def sampler(key, n):
+        del key
+        gr_alt = jnp.linspace(lo, hi, n)
+        z = jnp.zeros(n)
+        return {"yaw": z, "yaw_rate": z,
+                "ned_vel": jnp.zeros((n, 3)), "gr_alt": gr_alt,
+                "xy": jnp.zeros((n, 2)), "psi_mr": z, "psi_tr": z}
+    return sampler
+
+
 def _parse_target(spec: str, env) -> dict:
     """'k=v,...' task-target overrides; the value 'start' resolves to the
     default trim condition's start altitude (terrain + gear touch + 100 ft
@@ -204,6 +221,12 @@ def main(argv=None):
                          "TRAINING only — the periodic evaluator still runs "
                          "at the model's nominal level (train hard, test "
                          "easy: hardens hover against gust-tail failures)")
+    ap.add_argument("--eval-start-band", action="store_true",
+                    help="with --rand-start-alt LO:HI and --eval-every: "
+                         "evaluate on a deterministic linspace(LO, HI) "
+                         "altitude grid instead of the single --start-alt "
+                         "point, so best-tracking selects band-wide "
+                         "generalization")
     ap.add_argument("--eval-every", type=int, default=0,
                     help="every N updates run the TRUE deterministic "
                          "evaluator (fresh episodes to first termination) "
@@ -301,7 +324,12 @@ def main(argv=None):
         set_log_std=args.set_log_std,
         eval_every=args.eval_every,
         eval_episodes=args.eval_episodes,
-        eval_env=eval_env)
+        eval_env=eval_env,
+        eval_cond_sampler=(make_alt_grid_sampler(
+                               *(float(v)
+                                 for v in args.rand_start_alt.split(":")))
+                           if args.eval_start_band and args.rand_start_alt
+                           else None))
     dt = time.time() - t0
     total_steps = args.updates * cfg.num_envs * cfg.rollout_steps
     print(f"trained {total_steps} env-steps in {dt:.1f}s "
