@@ -127,8 +127,13 @@ def bc_fit(learner: PPOLearner, ts, obs, resid, w, *, epochs: int,
         per = jnp.sum((mean - r) ** 2, axis=-1)
         return jnp.sum(ww * per) / (jnp.sum(ww) + 1e-8)
 
+    # the dataset is passed as ARGUMENTS, not captured in the closure: a
+    # captured device array becomes a jit-program CONSTANT, which gets
+    # hashed + re-uploaded and the program recompiled EVERY round (measured:
+    # ~10 min/round at 280 MB through the TPU tunnel); as arguments the
+    # compile happens once and rounds reuse it
     @jax.jit
-    def epoch(params, opt_state, k):
+    def epoch(params, opt_state, k, obs, resid, w):
         perm = jax.random.permutation(k, n)[:n_used].reshape(nb, minibatch)
 
         def mb(carry, idx):
@@ -148,7 +153,7 @@ def bc_fit(learner: PPOLearner, ts, obs, resid, w, *, epochs: int,
     opt_state = tx.init(params)
     for e in range(epochs):
         key, k_e = jax.random.split(key)
-        params, opt_state, l = epoch(params, opt_state, k_e)
+        params, opt_state, l = epoch(params, opt_state, k_e, obs, resid, w)
     return ts.replace(params=params), float(l)
 
 
