@@ -224,7 +224,12 @@ class HeliVectorGymEnv(gym.vector.VectorEnv):
         self._trim = None
 
     def reset(self, seed: Optional[int] = None, options: Optional[dict] = None):
-        key = jax.random.PRNGKey(seed or 0)
+        # Gymnasium semantics: an unseeded reset draws fresh entropy (two
+        # unseeded resets differ), while any explicit seed — including 0 —
+        # is reproducible.  `seed or 0` would alias seed=0 with seed=None.
+        if seed is None:
+            seed = int(np.random.SeedSequence().entropy & 0x7FFFFFFFFFFFFFFF)
+        key = jax.random.PRNGKey(seed)
         if self._trim is None:
             self._trim = self._core.trim_result(
                 (options or {}).get("trim_cond"))

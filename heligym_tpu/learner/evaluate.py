@@ -174,6 +174,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
+    if args.start_band and args.start_alt is not None:
+        # --start-band used to silently override --start-alt (advisor
+        # finding, round 3); make the conflict loud
+        ap.error("--start-band and --start-alt are mutually exclusive")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -244,6 +244,12 @@ def main(argv=None):
                          "REQUIRED for a --start-alt curriculum (a full "
                          "restore brings back the old reset snapshots)")
     args = ap.parse_args(argv)
+    if args.eval_start_band and not args.rand_start_alt:
+        # previously this combination silently fell through to single-point
+        # eval and reported plausible numbers with the band selection not in
+        # effect (advisor finding, round 3)
+        ap.error("--eval-start-band requires --rand-start-alt LO:HI "
+                 "(the eval grid spans the training band)")
 
     if args.cpu:
         # must run before any backend-touching jax call in this process

@@ -84,6 +84,24 @@ def test_bc_fit_reduces_loss(learner):
 
 
 @pytest.mark.quick
+def test_bc_fit_small_dataset(learner):
+    """Datasets smaller than the minibatch must clamp, not crash (advisor
+    finding, round 3: reshape(nb, minibatch) raised on small --episodes
+    sanity runs), and epochs=0 must error loudly instead of NameError."""
+    ts = learner.init(jax.random.PRNGKey(10))
+    k = jax.random.PRNGKey(11)
+    obs = jax.random.normal(k, (2, 4, 17))      # 8 samples
+    resid = 0.1 * jax.random.normal(k, (2, 4, 4))
+    w = jnp.ones((2, 4), jnp.float32)
+    ts2, loss = bc_fit(learner, ts, obs, resid, w, epochs=2, lr=1e-3,
+                       minibatch=65536, key=jax.random.PRNGKey(12))
+    assert np.isfinite(loss)
+    with pytest.raises(ValueError):
+        bc_fit(learner, ts, obs, resid, w, epochs=0, lr=1e-3,
+               minibatch=65536, key=jax.random.PRNGKey(12))
+
+
+@pytest.mark.quick
 def test_evaluator_cond_sampler_grid(hover_env, learner):
     """Evaluator accepts a cond_sampler (batched on-device trim) and returns
     per-episode stats over the grid."""

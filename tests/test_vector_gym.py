@@ -18,6 +18,34 @@ def test_vector_gym_api():
     venv.close()
 
 
+def test_vector_gym_reset_seeding():
+    """Gymnasium seeding semantics: unseeded resets draw fresh entropy (two
+    in a row differ), seed=0 is reproducible and distinct from unseeded
+    (regression: `seed or 0` aliased them and replayed one episode set)."""
+    venv = HeliVectorGymEnv(2)
+    venv.reset(seed=0)
+    k_seed0 = np.asarray(venv._state.key).copy()
+    venv.reset()
+    k_unseeded_a = np.asarray(venv._state.key).copy()
+    venv.reset()
+    k_unseeded_b = np.asarray(venv._state.key).copy()
+    venv.reset(seed=0)
+    k_seed0_again = np.asarray(venv._state.key).copy()
+    np.testing.assert_array_equal(k_seed0, k_seed0_again)   # seeded: reproducible
+    assert not np.array_equal(k_unseeded_a, k_unseeded_b)   # unseeded: fresh
+    assert not np.array_equal(k_seed0, k_unseeded_a)        # seed=0 != unseeded
+    # the key drives the per-env noise stream: trajectories actually diverge
+    venv.reset(seed=0)
+    act = np.zeros((2, 4), np.float32)
+    for _ in range(20):
+        obs_a, *_ = venv.step(act)
+    venv.reset()
+    for _ in range(20):
+        obs_b, *_ = venv.step(act)
+    assert not np.allclose(obs_a, obs_b)
+    venv.close()
+
+
 def test_randomized_reset(hover_env):
     venv = VectorHeliEnv(hover_env, 4)
 
