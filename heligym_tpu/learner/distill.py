@@ -77,7 +77,8 @@ def make_collector(env: HeliEnv, learner: PPOLearner, *, episodes: int,
             k, k_t = jax.random.split(k)
             obs = es.obs
             mean, log_std, _ = learner.network.apply(
-                params, learner._norm(obs, stats))
+                params, learner._net_in(obs, stats,
+                                        learner._task_oh(es.task_id)))
             noise = jax.random.normal(k_t, mean.shape)
             executed = jnp.clip(learner.act_bias + mean
                                 + jnp.exp(log_std) * noise, -1.0, 1.0)
@@ -135,7 +136,10 @@ def make_bc_fitter(learner: PPOLearner, *, lr: float, minibatch: int):
         return jax.tree_util.tree_map_with_path(mask, updates)
 
     def loss_fn(params, stats, o, r, ww):
-        mean, _, _ = learner.network.apply(params, learner._norm(o, stats))
+        # single-task only (CLI builds TASKS[...]; _net_in raises loudly on
+        # a MixedTask learner, whose loss would need per-sample task ids)
+        mean, _, _ = learner.network.apply(params,
+                                           learner._net_in(o, stats))
         per = jnp.sum((mean - r) ** 2, axis=-1)
         return jnp.sum(ww * per) / (jnp.sum(ww) + 1e-8)
 

@@ -50,9 +50,11 @@ def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
     venv = VectorHeliEnv(env, episodes, auto_reset=False)
     hmap = terrain_ops.prep_hmap_arg(env.terrain)
 
-    def policy(params, stats, obs, k):
-        mean, log_std, _ = learner.network.apply(params,
-                                                 learner._norm(obs, stats))
+    def policy(params, stats, obs, toh, k):
+        # toh: per-env task one-hot from EnvState.task_id (zero-width on
+        # single-task envs) — MixedTask policies are task-conditioned
+        mean, log_std, _ = learner.network.apply(
+            params, learner._net_in(obs, stats, toh))
         act = (mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
                if stochastic else mean)
         return jnp.clip(learner.act_bias + act, -1.0, 1.0)
@@ -60,7 +62,7 @@ def make_evaluator(env: HeliEnv, learner: PPOLearner, *, episodes: int,
     def scan_step(carry, t):
         es, k, res, params, stats = carry
         k, k_t = jax.random.split(k)
-        act = policy(params, stats, es.obs, k_t)
+        act = policy(params, stats, es.obs, learner._task_oh(es.task_id), k_t)
         es, out = jax.vmap(env.step, in_axes=(0, 0, None))(es, act, hmap)
         alive = res["end"] < 0
         end_now = (out.done | out.truncated) & alive

@@ -184,6 +184,11 @@ class Transition:
     # per-transition in-tolerance flag (the success-time accumulator's
     # increment); drives the optional success_bonus shaping + metrics.
     succ_step: jnp.ndarray
+    # per-transition task one-hot, (T, B, K) with K = number of MixedTask
+    # sub-tasks (K=0, i.e. zero-width, on single-task runs): rides through
+    # the minibatch shuffle so the loss can rebuild the task-conditioned
+    # network input for each sample.
+    task_oh: jnp.ndarray
 
 
 class PPOLearner:
@@ -195,6 +200,15 @@ class PPOLearner:
         self.config = config
         self.mesh = mesh or make_env_mesh()
         self.venv = VectorHeliEnv(env, config.num_envs, auto_reset=True)
+        # MixedTask: the policy must KNOW which task each env is on — hover
+        # and forward-flight episodes start at the identical trim state, so
+        # a task-blind deterministic policy literally cannot choose the
+        # right behavior (measured: det success ~0 on both sub-tasks while
+        # stochastic success rode on noise-induced divergence). A task
+        # one-hot from EnvState.task_id is appended to the network input
+        # (task_dim = 0 on single-task envs: nothing changes, and old
+        # checkpoints stay compatible).
+        self.task_dim = len(getattr(env.task, "tasks", ()))
         self.network = ActorCritic(action_dim=4, hidden=config.hidden,
                                    log_std_init=config.log_std_init)
         # executed action = clip(act_bias + residual); (4,) f32 constant
@@ -233,7 +247,8 @@ class PPOLearner:
             es, obs = self.venv.reset(k_run, trim_cond)
         if task_ids is not None:
             es = self.venv.assign_tasks(es, task_ids)
-        params = self.network.init(k_net, self._norm(obs[:1]))
+        params = self.network.init(
+            k_net, self._net_in(obs[:1], None, self._task_oh(es.task_id[:1])))
         opt_state = self.tx.init(params)
         sh_env = env_sharding(self.mesh)
         rep = replicated_sharding(self.mesh)
@@ -263,6 +278,29 @@ class PPOLearner:
                          -10.0, 10.0)
         return x
 
+    def _task_oh(self, task_id) -> jnp.ndarray:
+        """(..., task_dim) one-hot of EnvState.task_id; zero-width on
+        single-task envs (concatenating it is then the identity)."""
+        if self.task_dim:
+            return jax.nn.one_hot(task_id, self.task_dim, dtype=jnp.float32)
+        return jnp.zeros(jnp.shape(task_id) + (0,), jnp.float32)
+
+    def _net_in(self, obs, stats, task_oh=None):
+        """Network input: normalized obs, plus the task one-hot on MixedTask
+        runs. `task_oh` broadcasts over leading dims ((B, K) against
+        (T, B, 17) obs is fine); it is REQUIRED when task_dim > 0 — the
+        whole point is that the policy cannot be task-blind."""
+        x = self._norm(obs, stats)
+        if self.task_dim:
+            if task_oh is None:
+                raise ValueError(
+                    "MixedTask learner needs the task one-hot for the "
+                    "network input (pass _task_oh(es.task_id))")
+            toh = jnp.broadcast_to(task_oh,
+                                   x.shape[:-1] + (self.task_dim,))
+            x = jnp.concatenate([x, toh], axis=-1)
+        return x
+
     def _merge_stats(self, stats: ObsStats, obs) -> ObsStats:
         """Chan parallel merge of one rollout's scaled-obs statistics into the
         running stats. Non-finite obs (blowup steps) are zeroed out of the
@@ -279,9 +317,12 @@ class PPOLearner:
         # cap the count so fresh data keeps a floor weight (EMA-like tail)
         return ObsStats(mean=mean, var=m2 / n, count=jnp.minimum(n, 5e6))
 
-    def policy(self, params, obs, key=None, obs_stats: Optional[ObsStats] = None):
-        """Stochastic policy head; deterministic (mean) when key is None."""
-        mean, log_std, _ = self.network.apply(params, self._norm(obs, obs_stats))
+    def policy(self, params, obs, key=None, obs_stats: Optional[ObsStats] = None,
+               task_oh=None):
+        """Stochastic policy head; deterministic (mean) when key is None.
+        `task_oh` is required on MixedTask learners (see _net_in)."""
+        mean, log_std, _ = self.network.apply(
+            params, self._net_in(obs, obs_stats, task_oh))
         if key is None:
             return jnp.clip(self.act_bias + mean, -1.0, 1.0)
         noise = jax.random.normal(key, mean.shape)
@@ -292,13 +333,17 @@ class PPOLearner:
     def _policy_fn(self, fold_axis: Optional[str] = None):
         def policy_fn(p, obs, key_t):
             # stats: ObsStats or None (cfg.obs_norm off); cap: scalar
-            # log-std ceiling (1e9 = off; see PPOConfig.std_cap_updates)
-            params, stats, cap = p
+            # log-std ceiling (1e9 = off; see PPOConfig.std_cap_updates);
+            # toh: (B, task_dim) task one-hot on MixedTask runs
+            if self.task_dim:
+                params, stats, cap, toh = p
+            else:
+                (params, stats, cap), toh = p, None
             if fold_axis is not None:
                 # decorrelate action noise across mesh shards
                 key_t = jax.random.fold_in(key_t, jax.lax.axis_index(fold_axis))
-            mean, log_std, value = self.network.apply(params,
-                                                      self._norm(obs, stats))
+            mean, log_std, value = self.network.apply(
+                params, self._net_in(obs, stats, toh))
             log_std = jnp.minimum(log_std, cap)
             noise = jax.random.normal(key_t, mean.shape)
             action = mean + jnp.exp(log_std) * noise
@@ -338,8 +383,11 @@ class PPOLearner:
                       "failed": P(None, ENV_AXIS),
                       "succ_step": P(None, ENV_AXIS),
                       "final_obs": P(None, ENV_AXIS, None)}
+        # policy carry: params/stats/cap replicated; the per-env task
+        # one-hot (MixedTask) is sharded along the env axis with the farm
+        p_spec = (P(), P(), P(), P(ENV_AXIS)) if self.task_dim else P()
         return jax.shard_map(inner, mesh=self.mesh,
-                             in_specs=(sh, P(), P(), hm),
+                             in_specs=(sh, p_spec, P(), hm),
                              out_specs=(sh, traj_specs), check_vma=False)
 
     def _collect_fused(self, params, stats, cap, es: EnvState, key, hmap):
@@ -348,11 +396,15 @@ class PPOLearner:
         on multi-device meshes)."""
         if self._fused_rollout is None:
             self._fused_rollout = self._build_fused_rollout()
-        es, traj = self._fused_rollout(es, (params, stats, cap), key, hmap)
+        toh = self._task_oh(es.task_id)          # (B, K); static per rollout
+        p = (params, stats, cap, toh) if self.task_dim \
+            else (params, stats, cap)
+        es, traj = self._fused_rollout(es, p, key, hmap)
         reward = jnp.clip(jnp.nan_to_num(traj["reward"], nan=-100.0,
                                          posinf=100.0, neginf=-100.0),
                           -100.0, 100.0)
-        v_boot = self._value_of(params, stats, traj["final_obs"])
+        v_boot = self._value_of(params, stats, traj["final_obs"], toh)
+        T = traj["obs"].shape[0]
         out = Transition(obs=traj["obs"], action=traj["raw_action"],
                          log_prob=traj["log_prob"], value=traj["value"],
                          reward=reward,
@@ -360,20 +412,26 @@ class PPOLearner:
                          truncated=traj["truncated"].astype(jnp.float32),
                          v_boot=v_boot,
                          failed=traj["failed"].astype(jnp.float32),
-                         succ_step=traj["succ_step"].astype(jnp.float32))
+                         succ_step=traj["succ_step"].astype(jnp.float32),
+                         task_oh=jnp.broadcast_to(toh, (T,) + toh.shape))
         return es, key, out
 
-    def _value_of(self, params, stats, obs):
+    def _value_of(self, params, stats, obs, task_oh=None):
         """Value head over arbitrary leading dims (one batched apply)."""
-        _, _, value = self.network.apply(params, self._norm(obs, stats))
+        _, _, value = self.network.apply(params,
+                                         self._net_in(obs, stats, task_oh))
         return value
 
     def _collect(self, params, stats, cap, es: EnvState, key, hmap):
+        # task ids are static per env (they persist across auto-resets), so
+        # the one-hot is computed once outside the scan
+        toh = self._task_oh(es.task_id)
+
         def scan_step(carry, _):
             es, key = carry
             key, k_act = jax.random.split(key)
-            mean, log_std, value = self.network.apply(params,
-                                                      self._norm(es.obs, stats))
+            mean, log_std, value = self.network.apply(
+                params, self._net_in(es.obs, stats, toh))
             log_std = jnp.minimum(log_std, cap)
             noise = jax.random.normal(k_act, mean.shape)
             action = mean + jnp.exp(log_std) * noise
@@ -399,14 +457,15 @@ class PPOLearner:
                             truncated=out.truncated.astype(jnp.float32),
                             v_boot=jnp.zeros_like(value),
                             failed=out.failed.astype(jnp.float32),
-                            succ_step=succ_step)
+                            succ_step=succ_step, task_oh=toh)
             return (new_es, key), (tr, final_obs)
 
         (es, key), (traj, final_obs) = jax.lax.scan(
             scan_step, (es, key), None, length=self.config.rollout_steps)
         # One batched value apply over every step's pre-reset next obs: equals
         # V(s_{t+1}) on ordinary steps and the truncation bootstrap otherwise.
-        traj = traj.replace(v_boot=self._value_of(params, stats, final_obs))
+        traj = traj.replace(
+            v_boot=self._value_of(params, stats, final_obs, toh))
         return es, key, traj
 
     def _gae(self, traj: Transition):
@@ -458,8 +517,8 @@ class PPOLearner:
     # ------------------------------------------------------------- update
     def _loss(self, params, batch, advantages, returns, stats, ent_coef, cap):
         cfg = self.config
-        mean, log_std, value = self.network.apply(params,
-                                                  self._norm(batch.obs, stats))
+        mean, log_std, value = self.network.apply(
+            params, self._net_in(batch.obs, stats, batch.task_oh))
         log_std = jnp.minimum(log_std, cap)
         log_prob = gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(log_prob - batch.log_prob)
@@ -584,8 +643,11 @@ class PPOLearner:
                                   k_roll, hmap)
             advantages, returns = self._gae(traj)
             # (T, B, ...) -> (T*B, ...)
+            # explicit T*B (not -1): the zero-width task_oh leaf on
+            # single-task runs makes reshape(-1, 0) ill-defined
             flat = jax.tree_util.tree_map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), traj)
+                lambda x: x.reshape((x.shape[0] * x.shape[1],)
+                                    + x.shape[2:]), traj)
             adv_f = advantages.reshape(-1)
             ret_f = returns.reshape(-1)
             carry = (ts.params, ts.opt_state, k_upd, flat, adv_f, ret_f)
@@ -664,6 +726,7 @@ class PPOLearner:
               resume_from: Optional[str] = None,
               fresh_farm: bool = False,
               resume_num_envs: Optional[int] = None,
+              reset_schedules: bool = False,
               set_log_std: Optional[float] = None,
               eval_every: int = 0, eval_episodes: int = 64,
               eval_env: Optional[HeliEnv] = None,
@@ -729,6 +792,13 @@ class PPOLearner:
                 restored = restored.replace(env_state=ts.env_state,
                                             key=ts.key)
             ts = restored
+        if resume_from and reset_schedules:
+            # a SAME-SIZE resume restores update_count, so anneal /
+            # critic-warmup / std-cap schedules continue from the
+            # checkpoint's counter (documented footgun) — zero it when the
+            # new stage is a new annealing regime (scale-up resume already
+            # restarts schedules by construction)
+            ts = ts.replace(update_count=jnp.zeros((), jnp.int32))
         if resume_from and set_log_std is not None:
             params = jax.tree_util.tree_map(lambda x: x, ts.params)
             params["params"]["log_std"] = jnp.full_like(

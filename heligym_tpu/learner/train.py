@@ -234,6 +234,12 @@ def main(argv=None):
                          "selection-biased in-training success_ep_frac "
                          "(see PPOLearner.train)")
     ap.add_argument("--eval-episodes", type=int, default=64)
+    ap.add_argument("--reset-schedules", action="store_true",
+                    help="on a same-size --resume, zero the restored "
+                         "update_count so --anneal/--critic-warmup/"
+                         "--std-cap-updates count from 0 instead of the "
+                         "checkpoint's counter (scale-up resumes already "
+                         "restart schedules)")
     ap.add_argument("--set-log-std", type=float, default=None,
                     help="on --resume, overwrite the restored policy's "
                          "learned log-std (std surgery for staged "
@@ -327,6 +333,7 @@ def main(argv=None):
         resume_from=args.resume,
         fresh_farm=args.fresh_farm,
         resume_num_envs=args.resume_num_envs,
+        reset_schedules=args.reset_schedules,
         set_log_std=args.set_log_std,
         eval_every=args.eval_every,
         eval_episodes=args.eval_episodes,
