@@ -829,8 +829,20 @@ class PPOLearner:
                 metrics.update({f"eval_{k}": v for k, v in ev.items()
                                 if k != "episodes"})
                 s = ev["success_frac"]
-                print(f"  eval @ update {i + 1}: det success={s:.3f} "
-                      f"fail={ev['fail_frac']:.3f}", flush=True)
+                # MixedTask: select on the WORST sub-task, not the mean —
+                # the product goal is per-task competence, and a mean-based
+                # best can hide one dead sub-task behind another's success
+                per_task = [v for k, v in sorted(ev.items())
+                            if k.startswith("success_frac_t")]
+                if per_task:
+                    s = min(per_task)
+                    print(f"  eval @ update {i + 1}: det per-task "
+                          f"{[round(v, 3) for v in per_task]} "
+                          f"min={s:.3f} fail={ev['fail_frac']:.3f}",
+                          flush=True)
+                else:
+                    print(f"  eval @ update {i + 1}: det success={s:.3f} "
+                          f"fail={ev['fail_frac']:.3f}", flush=True)
                 if checkpoint_path and s > best_succ:
                     best_succ = s
                     self.save(checkpoint_path + ".best.npz", ts)

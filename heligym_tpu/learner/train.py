@@ -67,6 +67,27 @@ def make_alt_band_sampler(lo: float, hi: float):
     return sampler
 
 
+def make_yaw_band_sampler(lo: float, hi: float, alt_band=None):
+    """Cond sampler randomizing the start HEADING uniformly in [lo, hi] rad
+    (optionally also the start altitude): the heading analog of the landing
+    altitude band. For course-tracking tasks (oblique), a fixed yaw=0 start
+    gives the policy one long turn to discover before any positive signal;
+    a heading band puts some envs near-course every rollout, so the success
+    basin is populated from update 1 and grows outward — the same
+    curriculum logic as make_alt_band_sampler."""
+    def sampler(key, n):
+        k_yaw, k_alt = jax.random.split(key)
+        yaw = jax.random.uniform(k_yaw, (n,), minval=lo, maxval=hi)
+        z = jnp.zeros(n)
+        gr_alt = (jax.random.uniform(k_alt, (n,), minval=alt_band[0],
+                                     maxval=alt_band[1])
+                  if alt_band else jnp.full((n,), 100.0))
+        return {"yaw": yaw, "yaw_rate": z,
+                "ned_vel": jnp.zeros((n, 3)), "gr_alt": gr_alt,
+                "xy": jnp.zeros((n, 2)), "psi_mr": z, "psi_tr": z}
+    return sampler
+
+
 def make_alt_grid_sampler(lo: float, hi: float):
     """Deterministic start-altitude GRID (linspace [lo, hi], key ignored) for
     the periodic evaluator: with band training (`make_alt_band_sampler`), a
@@ -120,6 +141,11 @@ def main(argv=None):
     ap.add_argument("--tasks", default=None,
                     help="comma list -> one task-conditioned MixedTask policy "
                          "(overrides --task), e.g. 'hover,landing'")
+    ap.add_argument("--task-weights", default=None,
+                    help="comma ints, env-count ratio per sub-task (default "
+                         "uniform round-robin), e.g. '3,1' gives the first "
+                         "task 3x the envs — use to protect a fragile task "
+                         "from a dominant one's gradient share")
     ap.add_argument("--num-envs", type=int, default=1024)
     ap.add_argument("--rollout-steps", type=int, default=64)
     ap.add_argument("--updates", type=int, default=100)
@@ -216,6 +242,12 @@ def main(argv=None):
                          "(landing curriculum band; overrides --start-alt "
                          "for the farm — the periodic evaluator still uses "
                          "--start-alt)")
+    ap.add_argument("--rand-start-yaw", type=str, default=None,
+                    metavar="LO:HI",
+                    help="randomize each env's start heading uniformly in "
+                         "[LO, HI] rad (heading-band curriculum for "
+                         "course-tracking tasks; composes with "
+                         "--rand-start-alt)")
     ap.add_argument("--turb-level", type=int, default=None,
                     help="override the Dryden turbulence level (1..7) for "
                          "TRAINING only — the periodic evaluator still runs "
@@ -265,7 +297,15 @@ def main(argv=None):
     if args.tasks:
         names = [s.strip() for s in args.tasks.split(",") if s.strip()]
         task = MixedTask(tasks=tuple(TASKS[n]() for n in names))
-        task_ids = np.arange(args.num_envs) % len(names)
+        if args.task_weights:
+            w = [int(v) for v in args.task_weights.split(",")]
+            if len(w) != len(names):
+                ap.error("--task-weights needs one weight per task")
+            pattern = np.repeat(np.arange(len(names)), w)
+            task_ids = np.tile(pattern,
+                               args.num_envs // len(pattern) + 1)[:args.num_envs]
+        else:
+            task_ids = np.arange(args.num_envs) % len(names)
         label = "+".join(names)
     else:
         task = TASKS[args.task]()
@@ -323,7 +363,14 @@ def main(argv=None):
         log_every=args.log_every,
         trim_cond=({"gr_alt": args.start_alt}
                    if args.start_alt is not None else None),
-        cond_sampler=(make_alt_band_sampler(
+        cond_sampler=(make_yaw_band_sampler(
+                          *(float(v) for v in args.rand_start_yaw.split(":")),
+                          alt_band=(tuple(
+                              float(v)
+                              for v in args.rand_start_alt.split(":"))
+                              if args.rand_start_alt else None))
+                      if args.rand_start_yaw
+                      else make_alt_band_sampler(
                           *(float(v) for v in args.rand_start_alt.split(":")))
                       if args.rand_start_alt
                       else default_cond_sampler if args.randomized_resets

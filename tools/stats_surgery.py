@@ -26,6 +26,10 @@ This is the committed, reusable form of the round-3 ad-hoc fix that took the
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
