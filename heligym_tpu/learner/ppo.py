@@ -105,6 +105,22 @@ class PPOConfig:
     # settling; the flare potential makes the arrival speed itself costly.
     flare_shaping: float = 0.0
     flare_scale: float = 10.0   # [ft] e-folding altitude of the flare zone
+    # Potential-based VELOCITY-VECTOR shaping: Phi = -|v_ned_horiz - target|
+    # [ft/s] from obs[4:6]. Motivation (measured, round 4): tasks with a
+    # directional velocity target (oblique flight) get no success-bonus
+    # signal because the in-tolerance region is never visited (in_tol
+    # 0.000-0.002 across every warm start) — the task's own max(final,
+    # terminal) reward pays any fast movement, not the right DIRECTION.
+    # Same telescoping guarantee as the other potentials.
+    vel_shaping: float = 0.0
+    vel_target_n: float = 0.0   # [ft/s] target north velocity
+    vel_target_e: float = 0.0   # [ft/s] target east velocity
+    # Potential-based TRACK shaping (slalom): Phi = -|y - A*sin(2*pi*x/L)|
+    # [ft] from obs[13:15] — pulls the lateral position onto the weave
+    # reference the task scores (envs/tasks.py::SlalomTask).
+    track_shaping: float = 0.0
+    track_amplitude: float = 150.0   # [ft]
+    track_wavelength: float = 2000.0  # [ft]
     # Value-loss clipping range; 0 disables value clipping. The default 0.2
     # matches clip_eps, which is calibrated for O(1) returns — with
     # success-bonus shaping, returns reach O(1/(1-gamma)) and a 0.2 clip
@@ -475,7 +491,8 @@ class PPOLearner:
         cfg = self.config
 
         shaping = jnp.zeros_like(traj.reward)
-        if cfg.agl_shaping != 0.0 or cfg.flare_shaping != 0.0:
+        if (cfg.agl_shaping != 0.0 or cfg.flare_shaping != 0.0
+                or cfg.vel_shaping != 0.0 or cfg.track_shaping != 0.0):
             # potential-based: coef * (gamma * Phi(s_{t+1}) - Phi(s_t));
             # obs[t+1] is post-reset so boundary transitions are gated off
             # (their next obs is a new episode's)
@@ -492,6 +509,16 @@ class PPOLearner:
                 phi_f = -jnp.abs(traj.obs[..., 3]) * jnp.exp(
                     -traj.obs[..., 16] / cfg.flare_scale)
                 shaping += cfg.flare_shaping * telescope(phi_f)
+            if cfg.vel_shaping != 0.0:  # Phi = -|v_horiz - target| [ft/s]
+                phi_v = -jnp.sqrt(
+                    (traj.obs[..., 4] - cfg.vel_target_n) ** 2
+                    + (traj.obs[..., 5] - cfg.vel_target_e) ** 2 + 1e-6)
+                shaping += cfg.vel_shaping * telescope(phi_v)
+            if cfg.track_shaping != 0.0:  # Phi = -|y - y_ref(x)| [ft]
+                y_ref = cfg.track_amplitude * jnp.sin(
+                    2.0 * jnp.pi * traj.obs[..., 13] / cfg.track_wavelength)
+                phi_t = -jnp.abs(traj.obs[..., 14] - y_ref)
+                shaping += cfg.track_shaping * telescope(phi_t)
 
         def scan_back(gae, tr_and_sh):
             tr, sh = tr_and_sh

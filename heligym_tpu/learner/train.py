@@ -189,6 +189,19 @@ def main(argv=None):
                          "breaks the gear-window bounce limit-cycle)")
     ap.add_argument("--flare-scale", type=float, default=10.0,
                     help="e-folding altitude [ft] of the flare zone")
+    ap.add_argument("--vel-shaping", type=float, default=0.0,
+                    help="training-only potential shaping toward a "
+                         "horizontal NED velocity VECTOR (oblique/"
+                         "directional tasks; Phi = -|v - target| ft/s). "
+                         "Target defaults to the task's course: vel * "
+                         "(cos, sin)(heading + azimuth) when those fields "
+                         "exist, else --vel-target")
+    ap.add_argument("--vel-target", type=str, default=None, metavar="N:E",
+                    help="explicit shaping velocity target [ft/s]")
+    ap.add_argument("--track-shaping", type=float, default=0.0,
+                    help="training-only potential shaping onto the slalom "
+                         "weave reference (Phi = -|y - A sin(2 pi x / L)| "
+                         "ft; A/L from the task fields)")
     ap.add_argument("--vf-clip", type=float, default=0.2,
                     help="value-loss clip range (0 = no value clipping; "
                          "use 0 with --success-bonus, returns are O(100))")
@@ -335,6 +348,26 @@ def main(argv=None):
         env = env.replace(wind_params=_dc.replace(
             env.wind_params, turbulence_level=args.turb_level))
         label += f"+turb{args.turb_level}"
+    import math as _math
+    vel_tn = vel_te = 0.0
+    if args.vel_shaping:
+        if args.vel_target:
+            vel_tn, vel_te = (float(v) for v in args.vel_target.split(":"))
+        else:
+            t = env.task
+            course = getattr(t, "heading", 0.0) + getattr(t, "azimuth", 0.0)
+            vel = getattr(t, "vel", None)
+            if vel is None:
+                ap.error("--vel-shaping needs --vel-target N:E for tasks "
+                         "without a vel field")
+            vel_tn = vel * _math.cos(course)
+            vel_te = vel * _math.sin(course)
+        print(f"vel shaping target: ({vel_tn:.1f}, {vel_te:.1f}) ft/s",
+              flush=True)
+    track_amp, track_wl = 150.0, 2000.0
+    if args.track_shaping:
+        track_amp = getattr(env.task, "amplitude", track_amp)
+        track_wl = getattr(env.task, "wavelength", track_wl)
     cfg = PPOConfig(num_envs=args.num_envs, rollout_steps=args.rollout_steps,
                     lr=args.lr, gamma=args.gamma, ent_coef=args.ent_coef,
                     epochs=args.epochs, minibatches=args.minibatches,
@@ -348,6 +381,10 @@ def main(argv=None):
                     agl_shaping=args.agl_shaping,
                     flare_shaping=args.flare_shaping,
                     flare_scale=args.flare_scale,
+                    vel_shaping=args.vel_shaping,
+                    vel_target_n=vel_tn, vel_target_e=vel_te,
+                    track_shaping=args.track_shaping,
+                    track_amplitude=track_amp, track_wavelength=track_wl,
                     vf_clip_eps=args.vf_clip,
                     target_kl=args.target_kl,
                     critic_warmup=args.critic_warmup,

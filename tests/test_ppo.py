@@ -140,6 +140,30 @@ def test_flare_shaping_training_only(hover_env):
                                float(m0["reward_mean"]), rtol=1e-5)
 
 
+def test_vel_track_shaping_training_only(hover_env):
+    """Velocity-vector and slalom-track potentials keep the train step
+    finite and never leak into the reported env reward (same contract as
+    every other shaping term)."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                    hidden=(16, 16), vel_shaping=0.3, vel_target_n=42.4,
+                    vel_target_e=42.4, track_shaping=0.1,
+                    track_amplitude=150.0, track_wavelength=2000.0,
+                    vf_clip_eps=0.0)
+    l = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = l.init(jax.random.PRNGKey(6))
+    ts, m = l.train_step_fn()(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    cfg0 = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                     hidden=(16, 16))
+    l0 = PPOLearner(hover_env, cfg0, mesh=mesh)
+    ts0 = l0.init(jax.random.PRNGKey(6))
+    ts0, m0 = l0.train_step_fn()(ts0)
+    np.testing.assert_allclose(float(m["reward_mean"]),
+                               float(m0["reward_mean"]), rtol=1e-5)
+
+
 def test_checkpoint_resume(tmp_path, learner):
     ts = learner.init(jax.random.PRNGKey(4))
     step = learner.train_step_fn()
