@@ -69,6 +69,7 @@ def make_collector(env: HeliEnv, learner: PPOLearner, *, episodes: int,
     (advisor finding, round 3)."""
     venv = VectorHeliEnv(env, episodes, auto_reset=False)
     hmap = terrain_ops.prep_hmap_arg(env.terrain)
+    # cond_sampler=None -> default trim resets (non-landing tasks)
 
     @jax.jit
     def run(params, stats, hmap, es, k):
@@ -112,7 +113,10 @@ def make_collector(env: HeliEnv, learner: PPOLearner, *, episodes: int,
               flush=True)
         stats = ts.obs_stats if learner.config.obs_norm else None
         k_env, k_act = jax.random.split(key)
-        es0, _ = venv.reset_randomized(k_env, cond_sampler)
+        if cond_sampler is not None:
+            es0, _ = venv.reset_randomized(k_env, cond_sampler)
+        else:
+            es0, _ = venv.reset(k_env)
         obs, resid, w, succ = run(params, stats, hmap, es0, k_act)
         return obs, resid, w, float(jnp.mean(succ.astype(jnp.float32)))
 
@@ -208,7 +212,8 @@ def main(argv=None):
                          "template shape)")
     ap.add_argument("--band", type=str, default="6:55", metavar="LO:HI",
                     help="start-altitude band: collection samples it "
-                         "uniformly, evaluation grids it")
+                         "uniformly, evaluation grids it; 'none' uses the "
+                         "task's default trim resets (non-landing tasks)")
     ap.add_argument("--episodes", type=int, default=2048,
                     help="stochastic episodes collected per round")
     ap.add_argument("--rounds", type=int, default=4,
@@ -251,9 +256,12 @@ def main(argv=None):
         mesh=make_env_mesh(jax.devices()[:1]))
     ts = learner.restore(args.checkpoint, learner.init(jax.random.PRNGKey(0)))
 
-    lo, hi = (float(v) for v in args.band.split(":"))
-    band = make_alt_band_sampler(lo, hi)
-    grid = make_alt_grid_sampler(lo, hi)
+    if args.band == "none":
+        band = grid = None
+    else:
+        lo, hi = (float(v) for v in args.band.split(":"))
+        band = make_alt_band_sampler(lo, hi)
+        grid = make_alt_grid_sampler(lo, hi)
     steps = env.time_up_steps + 3
     collector = make_collector(env, learner, episodes=args.episodes,
                                steps=steps, cond_sampler=band)
