@@ -171,6 +171,10 @@ def main(argv=None):
                          "start-altitude grid (one altitude per episode, "
                          "batched on-device trim) instead of a single "
                          "--start-alt — reports band-wide generalization")
+    ap.add_argument("--turb-level", type=int, default=None,
+                    help="override the Dryden turbulence level (1..7) for "
+                         "the evaluation env — robustness probe (mean wind "
+                         "unchanged, trim cache shared)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
@@ -201,6 +205,10 @@ def main(argv=None):
         else:
             env = env.replace(task=env.task.with_target(**updates))
 
+    if args.turb_level is not None:
+        import dataclasses as _dc
+        env = env.replace(wind_params=_dc.replace(
+            env.wind_params, turbulence_level=args.turb_level))
     learner = PPOLearner(
         env, PPOConfig(num_envs=args.train_num_envs,
                        center_actions=not args.no_center_actions),
@@ -227,7 +235,7 @@ def main(argv=None):
         task_ids=task_ids, cond_sampler=cond_sampler)
     result = {"checkpoint": args.checkpoint,
               "policy": "stochastic" if args.stochastic else "mean",
-              "seed": args.seed, **result}
+              "seed": args.seed, "turb_level": args.turb_level, **result}
     print(json.dumps(result, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:
