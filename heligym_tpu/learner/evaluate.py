@@ -171,6 +171,9 @@ def main(argv=None):
                          "start-altitude grid (one altitude per episode, "
                          "batched on-device trim) instead of a single "
                          "--start-alt — reports band-wide generalization")
+    ap.add_argument("--max-time", type=float, default=None,
+                    help="episode wall [s] (reference set_max_time; match "
+                         "training)")
     ap.add_argument("--turb-level", type=int, default=None,
                     help="override the Dryden turbulence level (1..7) for "
                          "the evaluation env — robustness probe (mean wind "
@@ -205,6 +208,8 @@ def main(argv=None):
         else:
             env = env.replace(task=env.task.with_target(**updates))
 
+    if args.max_time is not None:
+        env = env.replace(max_time=args.max_time)
     if args.turb_level is not None:
         import dataclasses as _dc
         env = env.replace(wind_params=_dc.replace(

@@ -231,6 +231,13 @@ def main(argv=None):
     ap.add_argument("--start-alt", type=float, default=None,
                     help="initial trim altitude above ground [ft] "
                          "(default 100; e.g. 25 for a landing curriculum)")
+    ap.add_argument("--max-time", type=float, default=None,
+                    help="episode wall [s] (the reference's set_max_time, "
+                         "helicopter.py:89-92; success requires "
+                         "max_time/4 s of accumulated tolerance — a longer "
+                         "budget means MORE required settle time, but "
+                         "gives high-altitude landings room to descend at "
+                         "a safe rate)")
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend (the JAX_PLATFORMS env "
                          "var is overridden by the TPU plugin; this flag "
@@ -325,6 +332,9 @@ def main(argv=None):
         label = args.task
 
     env = HeliEnv.build("aw109", task=task)
+    if args.max_time is not None:
+        env = env.replace(max_time=args.max_time)
+        label += f"@T{args.max_time:g}"
     if args.target:
         updates = _parse_target(args.target, env)
         if args.tasks:
