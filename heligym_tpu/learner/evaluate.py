@@ -139,6 +139,51 @@ def evaluate(env: HeliEnv, learner: PPOLearner, ts, *, episodes: int,
                           cond_sampler=cond_sampler)(ts, key)
 
 
+#: the standard committed-artifact eval protocol (examples/*_eval.json):
+#: every artifact is scored on the SAME seed set, both policies, so no
+#: number in the repo can be a one-seed cherry-pick (round-4 verdict #3)
+STANDARD_SEEDS = (0, 1, 2)
+
+
+def multi_seed_evaluate(env: HeliEnv, learner: PPOLearner, ts, *,
+                        episodes: int, steps: int, seeds,
+                        trim_cond=None, task_ids=None,
+                        cond_sampler=None) -> dict:
+    """Run the evaluator over `seeds` for BOTH the deterministic (mean) and
+    the stochastic policy; return per-seed results plus aggregates.
+
+    Each (policy, seed) pair draws fresh initial conditions and Dryden wind
+    streams from PRNGKey(seed); the two jitted evaluators are traced once
+    and reused across seeds. Aggregates report mean/std/min over seeds of
+    the headline fractions — the cross-seed std is the number that answers
+    "was this one lucky seed?" (binomial noise at 256 episodes is ~±0.03;
+    a seed effect shows up as std well above that)."""
+    per_seed = {"mean": [], "stochastic": []}
+    for policy_name, stochastic in (("mean", False), ("stochastic", True)):
+        ev = make_evaluator(env, learner, episodes=episodes, steps=steps,
+                            stochastic=stochastic, trim_cond=trim_cond,
+                            task_ids=task_ids, cond_sampler=cond_sampler)
+        for seed in seeds:
+            r = ev(ts, jax.random.PRNGKey(int(seed)))
+            per_seed[policy_name].append({"seed": int(seed), **r})
+
+    def aggregate(rows):
+        keys = [k for k in rows[0]
+                if k.startswith(("success_frac", "fail_frac",
+                                 "timeout_frac"))]
+        out = {}
+        for k in keys:
+            v = np.asarray([r[k] for r in rows], np.float64)
+            out[k] = {"mean": float(v.mean()), "std": float(v.std()),
+                      "min": float(v.min()), "max": float(v.max())}
+        return out
+
+    return {"episodes": episodes, "seeds": [int(s) for s in seeds],
+            "per_seed": per_seed,
+            "aggregate": {p: aggregate(rows)
+                          for p, rows in per_seed.items()}}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
@@ -181,6 +226,13 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=str, default=None, metavar="S0,S1,...",
+                    help="multi-seed protocol: run EVERY listed seed for "
+                         "BOTH the mean and the stochastic policy and "
+                         "report per-seed + aggregate stats (the standard "
+                         "committed-artifact protocol is seeds 0,1,2 x 256 "
+                         "episodes; makes single-seed cherry-picking "
+                         "impossible). Overrides --seed/--stochastic.")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args(argv)
     if args.start_band and args.start_alt is not None:
@@ -232,15 +284,25 @@ def main(argv=None):
         from .train import make_alt_grid_sampler
         cond_sampler = make_alt_grid_sampler(
             *(float(v) for v in args.start_band.split(":")))
-    result = evaluate(
-        env, learner, ts, episodes=args.episodes, steps=steps,
-        key=jax.random.PRNGKey(args.seed), stochastic=args.stochastic,
-        trim_cond=({"gr_alt": args.start_alt}
-                   if args.start_alt is not None else None),
-        task_ids=task_ids, cond_sampler=cond_sampler)
-    result = {"checkpoint": args.checkpoint,
-              "policy": "stochastic" if args.stochastic else "mean",
-              "seed": args.seed, "turb_level": args.turb_level, **result}
+    trim_cond = ({"gr_alt": args.start_alt}
+                 if args.start_alt is not None else None)
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",")]
+        result = multi_seed_evaluate(
+            env, learner, ts, episodes=args.episodes, steps=steps,
+            seeds=seeds, trim_cond=trim_cond, task_ids=task_ids,
+            cond_sampler=cond_sampler)
+        result = {"checkpoint": args.checkpoint,
+                  "turb_level": args.turb_level, **result}
+    else:
+        result = evaluate(
+            env, learner, ts, episodes=args.episodes, steps=steps,
+            key=jax.random.PRNGKey(args.seed), stochastic=args.stochastic,
+            trim_cond=trim_cond,
+            task_ids=task_ids, cond_sampler=cond_sampler)
+        result = {"checkpoint": args.checkpoint,
+                  "policy": "stochastic" if args.stochastic else "mean",
+                  "seed": args.seed, "turb_level": args.turb_level, **result}
     print(json.dumps(result, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:

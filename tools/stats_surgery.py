@@ -86,6 +86,13 @@ def main(argv=None):
     z_lo_old = (x_lo - m[i]) / np.sqrt(v[i] + 1e-8)
     # new affine through (x_lo, z_lo_old) and (x_hi, top_z)
     s_new = (x_hi - x_lo) / (args.top_z - z_lo_old)
+    if not s_new > 0:
+        raise SystemExit(
+            f"requested anchors imply a non-positive scale (s_new="
+            f"{s_new:.4g}): need top_z ({args.top_z:g}) > z(anchor_alt) "
+            f"({z_lo_old:.3f}) when top_alt > anchor_alt — v = s**2 would "
+            f"silently drop the sign and the saved stats would not pass "
+            f"through the requested anchor points")
     m[i] = x_lo - z_lo_old * s_new
     v[i] = s_new ** 2
     ts = ts.replace(obs_stats=st.replace(mean=jnp.asarray(m),
