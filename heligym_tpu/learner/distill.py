@@ -234,6 +234,17 @@ def main(argv=None):
                          "so raw-parameter collection is much noisier than "
                          "the trained behavior")
     ap.add_argument("--eval-episodes", type=int, default=256)
+    ap.add_argument("--turb-level", type=int, default=None,
+                    help="override the Dryden turbulence level (1..7) for "
+                         "COLLECTION — robustness distillation: clone "
+                         "stochastic successes under hard turbulence so the "
+                         "mean learns gust rejection (the hover flagship's "
+                         "train-hard recipe applied to the BC loop)")
+    ap.add_argument("--eval-turb-level", type=int, default=None,
+                    help="turbulence level of the selection evaluator "
+                         "(default: the model's nominal level — train hard, "
+                         "select easy; set equal to --turb-level to select "
+                         "directly for turbulence robustness)")
     ap.add_argument("--no-center-actions", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
@@ -250,6 +261,15 @@ def main(argv=None):
     if args.target:
         env = env.replace(task=env.task.with_target(
             **_parse_target(args.target, env)))
+    # collection/evaluation turbulence overrides (mean wind unchanged, so
+    # the trim disk cache is shared across all variants)
+    import dataclasses as _dc
+    collect_env = env if args.turb_level is None else env.replace(
+        wind_params=_dc.replace(env.wind_params,
+                                turbulence_level=args.turb_level))
+    eval_env = env if args.eval_turb_level is None else env.replace(
+        wind_params=_dc.replace(env.wind_params,
+                                turbulence_level=args.eval_turb_level))
     learner = PPOLearner(
         env, PPOConfig(num_envs=args.train_num_envs,
                        center_actions=not args.no_center_actions),
@@ -263,10 +283,10 @@ def main(argv=None):
         band = make_alt_band_sampler(lo, hi)
         grid = make_alt_grid_sampler(lo, hi)
     steps = env.time_up_steps + 3
-    collector = make_collector(env, learner, episodes=args.episodes,
+    collector = make_collector(collect_env, learner, episodes=args.episodes,
                                steps=steps, cond_sampler=band)
     fitter = make_bc_fitter(learner, lr=args.bc_lr, minibatch=args.minibatch)
-    evaluator = make_evaluator(env, learner, episodes=args.eval_episodes,
+    evaluator = make_evaluator(eval_env, learner, episodes=args.eval_episodes,
                                steps=steps, cond_sampler=grid)
     key = jax.random.PRNGKey(args.seed)
     eval_key = jax.random.PRNGKey(1234)

@@ -115,6 +115,20 @@ class PPOConfig:
     vel_shaping: float = 0.0
     vel_target_n: float = 0.0   # [ft/s] target north velocity
     vel_target_e: float = 0.0   # [ft/s] target east velocity
+    # Potential-based DESCENT-PROFILE shaping (high-altitude landing):
+    # Phi = -|down_vel - v_ref(agl)| with v_ref = vmax * (1 - exp(-agl/scale))
+    # [ft/s] from obs[6]/obs[16] — pulls the vertical speed onto a safe
+    # approach profile (~vmax at altitude, tapering exponentially to ~0 at
+    # the ground). Motivation (measured, rounds 3-4): from 100 ft the
+    # max(final, terminal) reward pays ANY fast descent, so policies either
+    # dive (arrive at the gear window at 6-13 ft/s and crash) or hover
+    # (timeout); flare_shaping charges for arrival speed but gives no
+    # gradient toward DESCENDING AT THE RIGHT RATE at altitude. This
+    # potential penalizes both failure modes at every altitude. Same
+    # telescoping guarantee as the other potentials (pure state function).
+    prof_shaping: float = 0.0
+    prof_vmax: float = 7.0     # [ft/s] asymptotic descent rate at altitude
+    prof_scale: float = 25.0   # [ft] e-folding altitude of the taper
     # Potential-based TRACK shaping (slalom): Phi = -|y - A*sin(2*pi*x/L)|
     # [ft] from obs[13:15] — pulls the lateral position onto the weave
     # reference the task scores (envs/tasks.py::SlalomTask).
@@ -504,7 +518,8 @@ class PPOLearner:
 
         shaping = jnp.zeros_like(traj.reward)
         if (cfg.agl_shaping != 0.0 or cfg.flare_shaping != 0.0
-                or cfg.vel_shaping != 0.0 or cfg.track_shaping != 0.0):
+                or cfg.vel_shaping != 0.0 or cfg.track_shaping != 0.0
+                or cfg.prof_shaping != 0.0):
             # potential-based: coef * (gamma * Phi(s_{t+1}) - Phi(s_t));
             # obs[t+1] is post-reset so boundary transitions are gated off
             # (their next obs is a new episode's)
@@ -521,6 +536,14 @@ class PPOLearner:
                 phi_f = -jnp.abs(traj.obs[..., 3]) * jnp.exp(
                     -traj.obs[..., 16] / cfg.flare_scale)
                 shaping += cfg.flare_shaping * telescope(phi_f)
+            if cfg.prof_shaping != 0.0:  # Phi = -|w_ned - v_ref(agl)| [ft/s]
+                # obs[6] = NED down velocity (positive down = descending),
+                # the inertial rate — not obs[3], the body-frame air-relative
+                # w the flare potential uses
+                v_ref = cfg.prof_vmax * (
+                    1.0 - jnp.exp(-traj.obs[..., 16] / cfg.prof_scale))
+                shaping += cfg.prof_shaping * telescope(
+                    -jnp.abs(traj.obs[..., 6] - v_ref))
             if cfg.vel_shaping != 0.0:  # Phi = -|v_horiz - target| [ft/s]
                 phi_v = -jnp.sqrt(
                     (traj.obs[..., 4] - cfg.vel_target_n) ** 2

@@ -189,6 +189,17 @@ def main(argv=None):
                          "breaks the gear-window bounce limit-cycle)")
     ap.add_argument("--flare-scale", type=float, default=10.0,
                     help="e-folding altitude [ft] of the flare zone")
+    ap.add_argument("--prof-shaping", type=float, default=0.0,
+                    help="potential-based descent-profile shaping "
+                         "coefficient (high-altitude landing; Phi = "
+                         "-|down_vel - v_ref(agl)| with v_ref = vmax * "
+                         "(1 - exp(-agl/scale)): penalizes hovering at "
+                         "altitude AND diving — the safe-approach gradient "
+                         "the reference reward lacks)")
+    ap.add_argument("--prof-vmax", type=float, default=7.0,
+                    help="asymptotic descent rate [ft/s] of the profile")
+    ap.add_argument("--prof-scale", type=float, default=25.0,
+                    help="e-folding altitude [ft] of the profile taper")
     ap.add_argument("--vel-shaping", type=float, default=0.0,
                     help="training-only potential shaping toward a "
                          "horizontal NED velocity VECTOR (oblique/"
@@ -397,6 +408,8 @@ def main(argv=None):
                     agl_shaping=args.agl_shaping,
                     flare_shaping=args.flare_shaping,
                     flare_scale=args.flare_scale,
+                    prof_shaping=args.prof_shaping,
+                    prof_vmax=args.prof_vmax, prof_scale=args.prof_scale,
                     vel_shaping=args.vel_shaping,
                     vel_target_n=vel_tn, vel_target_e=vel_te,
                     track_shaping=args.track_shaping,

@@ -107,6 +107,15 @@ def _load():
     lib.get_width.argtypes = [c.c_void_p]
     lib.get_height.restype = c.c_int
     lib.get_height.argtypes = [c.c_void_p]
+    # X11 presentation sink (x11sink.cpp): libX11 is dlopen'd at RUNTIME by
+    # the native library, so these entry points always exist — they just
+    # report unavailability on headless pods.
+    lib.native_display_available.restype = c.c_int
+    lib.window_show_native.restype = c.c_int
+    lib.window_show_native.argtypes = [c.c_void_p]
+    lib.window_present_native.restype = c.c_int
+    lib.window_present_native.argtypes = [c.c_void_p]
+    lib.window_hide_native.argtypes = [c.c_void_p]
     _lib = lib
     return lib
 
@@ -268,6 +277,25 @@ class Renderer:
     def coord_from_graphics_to_ned(self, x, y, z):
         return x, z, -y
 
+    # OS-window presentation (x11sink.cpp; the reference's GLFW window role,
+    # gWindow.cpp:260-309) --------------------------------------------------
+    def display_available(self) -> bool:
+        """True when a real X display can be opened (libX11 + DISPLAY)."""
+        return bool(self._lib.native_display_available())
+
+    def show_native_window(self) -> int:
+        """Open an OS window presenting this renderer's framebuffer.
+        0 = ok; -1 no libX11, -2 no display, -3 unsupported visual."""
+        return self._lib.window_show_native(self.window)
+
+    def present_native_window(self) -> int:
+        """Blit the current frame + pump mouse/scroll/keyboard events into
+        the fly camera. Bitmask: 1 = close requested, 2 = camera input."""
+        return self._lib.window_present_native(self.window)
+
+    def hide_native_window(self):
+        self._lib.window_hide_native(self.window)
+
     # gui text -----------------------------------------------------------
     def create_guiText(self, title, pos_x, pos_y, size_x, size_y):
         return self._lib.create_guiTextVector(self.window, title.encode(),
@@ -385,18 +413,28 @@ class NativeRenderer:
     # ------------------------------------------------- human-mode viewer
     # The reference's human mode is a GLFW window whose mouse/scroll
     # callbacks drive Camera::ProcessMouseMovement/Scroll
-    # (gWindow.cpp:260-309). Headless TPU pods have no X server, so human
-    # mode here is an in-terminal viewer (render/terminal_viewer.py) whose
-    # raw-mode keyboard drives the SAME camera_process_* C API.
+    # (gWindow.cpp:260-309). Here human mode picks the best available sink:
+    # a real X11 window when a display exists (render/native/x11sink.cpp —
+    # mouse-drag orbit, scroll zoom, WASD fly-cam, all driving the same
+    # sr::Camera), else the in-terminal viewer (render/terminal_viewer.py)
+    # whose raw-mode keyboard drives the SAME camera_process_* C API.
     _fly_cam = False
     _viewer = None
-    viewer_quit = False   # latched when the user presses q
+    viewer_quit = False   # latched when the user presses q / Escape
 
     def _ensure_viewer(self, **kw):
         if self._viewer is None:
-            from .terminal_viewer import TerminalViewer
-            self._viewer = TerminalViewer(**kw)
-            self.renderer.set_fps(0.0)  # viewer owns pacing
+            r = self.renderer
+            if (not kw.get("force_terminal")
+                    and r.display_available()
+                    and r.show_native_window() == 0):
+                self._viewer = _NativeWindowViewer(self)
+                r.set_fps(50.0)   # realtime pacing via precise_sleep
+            else:
+                from .terminal_viewer import TerminalViewer
+                kw.pop("force_terminal", None)
+                self._viewer = TerminalViewer(**kw)
+                r.set_fps(0.0)    # viewer owns pacing
 
     def _pump_viewer_keys(self):
         r = self.renderer
@@ -425,3 +463,32 @@ class NativeRenderer:
             self._viewer.close()
             self._viewer = None
         self.renderer.terminate()
+
+
+class _NativeWindowViewer:
+    """Human-mode sink over the X11 presentation window: `show` blits the
+    just-rendered framebuffer and pumps window events straight into the
+    native fly camera (the C side handles drag/scroll/WASD — no Python
+    key loop). Duck-typed to the TerminalViewer interface NativeRenderer
+    drives (fps / poll_keys / show / close)."""
+
+    fps = 50.0
+
+    def __init__(self, host: "NativeRenderer"):
+        self.host = host
+
+    def poll_keys(self):
+        return []   # events are consumed natively in present
+
+    def show(self, frame):
+        del frame   # the C sink reads the renderer's own framebuffer
+        res = self.host.renderer.present_native_window()
+        if res & 2:
+            # user touched the camera: hand the pose over to the fly-cam
+            # (stop re-scripting the chase camera every frame)
+            self.host._fly_cam = True
+        if res & 1:
+            self.host.viewer_quit = True
+
+    def close(self):
+        self.host.renderer.hide_native_window()

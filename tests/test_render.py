@@ -152,9 +152,13 @@ def test_native_human_mode(hover_env, hover_trim, monkeypatch):
     """NativeRenderer honors render mode: 'human' pumps keys + blits to the
     viewer and returns None (gymnasium convention); unknown modes raise."""
     import os
-    from heligym_tpu.render.native_api import NativeRenderer, native_available
+    from heligym_tpu.render.native_api import (NativeRenderer, Renderer,
+                                               native_available)
     if not native_available():
         pytest.skip("native renderer not built (no compiler?)")
+    # pin the TERMINAL viewer path: on a workstation with a display the
+    # X11 sink would take precedence (covered by test_x11_sink_*)
+    monkeypatch.setattr(Renderer, "display_available", lambda self: False)
     monkeypatch.setenv("COLUMNS", "40")
     monkeypatch.setenv("LINES", "12")
     es = _reset_state(hover_env, hover_trim)
@@ -241,4 +245,64 @@ def test_procedural_heli_livery(hover_env, hover_trim):
     body = frame[90:, :]
     white = (body > 190).all(axis=-1)
     assert white.any(), "livery cheat line not visible"
+    r.close()
+
+
+@pytest.mark.quick
+def test_x11_sink_entry_points(hover_env, hover_trim):
+    """The OS-window presentation sink (render/native/x11sink.cpp — the
+    reference's GLFW window role, gWindow.cpp:260-309) must always be
+    PRESENT in the built library: libX11 is dlopen'd at runtime, so the
+    entry points exist and report availability honestly on headless pods
+    instead of failing to build/load."""
+    from heligym_tpu.render.native_api import NativeRenderer, native_available
+    if not native_available():
+        pytest.skip("native renderer not built (no compiler?)")
+    es = _reset_state(hover_env, hover_trim)
+    r = NativeRenderer(hover_env, 160, 120)
+    avail = r.renderer.display_available()
+    assert avail in (True, False)
+    if not avail:
+        # headless: opening must fail with a diagnostic code, presenting
+        # without a window reports -1, hiding is a no-op
+        assert r.renderer.show_native_window() < 0
+        assert r.renderer.present_native_window() == -1
+        r.renderer.hide_native_window()
+    else:
+        # a display exists (workstation / Xvfb): full open-present-close
+        assert r.renderer.show_native_window() == 0
+        r.render(es)
+        res = r.renderer.present_native_window()
+        assert res >= 0 and not (res & 1)
+        r.renderer.hide_native_window()
+    r.close()
+
+
+def test_x11_viewer_selection(hover_env, hover_trim, monkeypatch):
+    """Human mode prefers the OS window when a display exists: with the
+    native probe faked to succeed, _ensure_viewer must pick the
+    _NativeWindowViewer and route camera-input/close flags back into the
+    fly-cam handover and viewer_quit latch."""
+    from heligym_tpu.render import native_api
+    if not native_api.native_available():
+        pytest.skip("native renderer not built (no compiler?)")
+    monkeypatch.setattr(native_api.Renderer, "display_available",
+                        lambda self: True)
+    monkeypatch.setattr(native_api.Renderer, "show_native_window",
+                        lambda self: 0)
+    presents = []
+    monkeypatch.setattr(native_api.Renderer, "present_native_window",
+                        lambda self: presents.pop(0))
+    monkeypatch.setattr(native_api.Renderer, "hide_native_window",
+                        lambda self: None)
+    es = _reset_state(hover_env, hover_trim)
+    r = native_api.NativeRenderer(hover_env, 160, 120)
+    presents.extend([0, 2, 1])
+    assert r.render(es, mode="human") is None        # plain present
+    assert isinstance(r._viewer, native_api._NativeWindowViewer)
+    assert not r._fly_cam and not r.viewer_quit
+    r.render(es, mode="human")                       # camera input seen
+    assert r._fly_cam and not r.viewer_quit
+    r.render(es, mode="human")                       # close requested
+    assert r.viewer_quit
     r.close()

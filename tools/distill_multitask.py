@@ -72,6 +72,20 @@ def main(argv=None):
                          "expert dataset never covers)")
     ap.add_argument("--bc-lr", type=float, default=3e-4)
     ap.add_argument("--minibatch", type=int, default=65536)
+    ap.add_argument("--hidden", default=None, metavar="H1,H2,...",
+                    help="student hidden sizes (default PPOConfig's "
+                         "256,256) — the 5-task BC residual error that "
+                         "kills landing is a capacity question; widen to "
+                         "probe it")
+    ap.add_argument("--task-loss-weights", default=None, metavar="W0,W1,...",
+                    help="per-task BC sample weights (floats, expert "
+                         "order): upweight a precision-critical task "
+                         "(landing) or a lagging head (hover) in the "
+                         "regression without changing collection")
+    ap.add_argument("--dagger-tasks", default=None,
+                    help="comma subset of expert task names to run DAgger "
+                         "collection on (default all) — targeted rounds on "
+                         "the lagging task only")
     ap.add_argument("--out-num-envs", type=int, required=True,
                     help="farm size of the saved student checkpoint")
     ap.add_argument("--out", required=True)
@@ -215,7 +229,10 @@ def main(argv=None):
             t.with_target(**{k: v for k, v in upd.items()
                              if k in t.target_dict()})
             for t in dst_task.tasks)))
-    student = PPOLearner(dst_env, PPOConfig(num_envs=args.out_num_envs),
+    hidden = (tuple(int(v) for v in args.hidden.split(","))
+              if args.hidden else PPOConfig.hidden)
+    student = PPOLearner(dst_env, PPOConfig(num_envs=args.out_num_envs,
+                                            hidden=hidden),
                          mesh=mesh)
     task_ids = np.arange(args.out_num_envs) % len(specs)
     ts_s = student.init(jax.random.PRNGKey(args.seed + 1), task_ids=task_ids)
@@ -267,12 +284,19 @@ def main(argv=None):
                         steps=dst_env.time_up_steps + 3, task_ids=eval_tids)
     eval_key = jax.random.PRNGKey(1234)
 
+    tlw = (np.asarray([float(v) for v in args.task_loss_weights.split(",")],
+                      np.float32) if args.task_loss_weights else None)
+    if tlw is not None and len(tlw) != len(specs):
+        raise SystemExit("--task-loss-weights needs one weight per expert")
+
     def fit(ts_s, key):
-        oh = np.eye(len(specs), dtype=np.float32)[np.concatenate(all_tid)]
+        t = np.concatenate(all_tid)
+        oh = np.eye(len(specs), dtype=np.float32)[t]
         o = np.concatenate(all_obs)
         r = np.concatenate(all_resid)
         obs_aug = np.concatenate([o, oh], -1)[None]        # (1, N, D)
-        w = np.ones((1, o.shape[0]), np.float32)
+        w = (tlw[t] if tlw is not None
+             else np.ones(o.shape[0], np.float32))[None]
         return fitter(ts_s, jnp.asarray(obs_aug), jnp.asarray(r[None]),
                       jnp.asarray(w), epochs=args.epochs, key=key)
 
@@ -289,9 +313,13 @@ def main(argv=None):
     best, best_r = min_per_task(r), r
     student.save(args.out + ".best.npz", ts_s)
 
+    dagger_tids = (
+        [i for i, (n, _, _) in enumerate(specs)
+         if n in {s.strip() for s in args.dagger_tasks.split(",")}]
+        if args.dagger_tasks else list(range(len(specs))))
     for rnd in range(1, args.dagger_rounds + 1):
         stats_s = ts_s.obs_stats if student.config.obs_norm else None
-        for tid in range(len(specs)):
+        for tid in dagger_tids:
             key, k_c = jax.random.split(key)
             collect(tid, (ts_s.params, stats_s), k_c,
                     max(T // 2, 1))
