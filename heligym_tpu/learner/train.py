@@ -125,10 +125,17 @@ def _parse_target(spec: str, env) -> dict:
     updates = {}
     for kv in spec.split(","):
         k, v = (s.strip() for s in kv.split("="))
-        if v == "start":
-            val = _contact_alt() + 100.0
-        elif v == "ground":
-            val = _contact_alt()
+        # 'ground+N' / 'start+N' offsets (e.g. touch_alt=ground+30 turns
+        # LandingTask's per-step success gate into an N-ft station-keep —
+        # the descend-to-hover expert's objective)
+        base, off = v, 0.0
+        if "+" in v:
+            base, off_s = v.split("+", 1)
+            off = float(off_s)
+        if base == "start":
+            val = _contact_alt() + 100.0 + off
+        elif base == "ground":
+            val = _contact_alt() + off
         else:
             val = float(v)
         updates[k] = val

@@ -221,3 +221,40 @@ def test_critic_warmup_deep(hover_env):
     moved = [k for k in critic_keys
              if np.abs(a[k]["kernel"] - b[k]["kernel"]).max() > 0]
     assert moved, "critic tower did not move during warmup"
+
+
+def test_prof_shaping_training_only(hover_env):
+    """Descent-profile potential (Phi = -|w_ned - v_ref(agl)|, v_ref =
+    vmax * (1 - exp(-agl/scale))) keeps the train step finite and never
+    leaks into the reported env reward (same contract as every other
+    shaping term)."""
+    mesh = make_env_mesh(jax.devices()[:1])
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                    hidden=(16, 16), prof_shaping=15.0, prof_vmax=7.0,
+                    prof_scale=25.0, vf_clip_eps=0.0)
+    l = PPOLearner(hover_env, cfg, mesh=mesh)
+    ts = l.init(jax.random.PRNGKey(6))
+    ts, m = l.train_step_fn()(ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    cfg0 = PPOConfig(num_envs=16, rollout_steps=8, minibatches=2, epochs=1,
+                     hidden=(16, 16))
+    l0 = PPOLearner(hover_env, cfg0, mesh=mesh)
+    ts0 = l0.init(jax.random.PRNGKey(6))
+    ts0, m0 = l0.train_step_fn()(ts0)
+    np.testing.assert_allclose(float(m["reward_mean"]),
+                               float(m0["reward_mean"]), rtol=1e-5)
+
+
+def test_parse_target_offsets(hover_env):
+    """'ground+N' / 'start+N' target offsets resolve against the terrain
+    contact altitude (the descend-expert objective's CLI face)."""
+    from heligym_tpu.learner.train import _parse_target
+    g = _parse_target("touch_alt=ground", hover_env)["touch_alt"]
+    g30 = _parse_target("touch_alt=ground+30", hover_env)["touch_alt"]
+    s = _parse_target("sea_alt=start", hover_env)["sea_alt"]
+    s5 = _parse_target("sea_alt=start+5", hover_env)["sea_alt"]
+    np.testing.assert_allclose(g30 - g, 30.0, atol=1e-5)
+    np.testing.assert_allclose(s5 - s, 5.0, atol=1e-5)
+    np.testing.assert_allclose(_parse_target("vel=60", hover_env)["vel"],
+                               60.0)
