@@ -233,6 +233,12 @@ def main(argv=None):
                          "stale pre-cap value (ppo.py set_log_std notes), "
                          "so raw-parameter collection is much noisier than "
                          "the trained behavior")
+    ap.add_argument("--eval-band", type=str, default=None, metavar="LO:HI",
+                    help="evaluation/selection altitude grid when it should "
+                         "differ from the COLLECTION band (e.g. collect "
+                         "55:100 where the missing behavior lives, select "
+                         "on 6:100 so low-band competence is protected); "
+                         "default: same as --band")
     ap.add_argument("--eval-episodes", type=int, default=256)
     ap.add_argument("--turb-level", type=int, default=None,
                     help="override the Dryden turbulence level (1..7) for "
@@ -282,6 +288,9 @@ def main(argv=None):
         lo, hi = (float(v) for v in args.band.split(":"))
         band = make_alt_band_sampler(lo, hi)
         grid = make_alt_grid_sampler(lo, hi)
+    if args.eval_band:
+        grid = make_alt_grid_sampler(
+            *(float(v) for v in args.eval_band.split(":")))
     steps = env.time_up_steps + 3
     collector = make_collector(collect_env, learner, episodes=args.episodes,
                                steps=steps, cond_sampler=band)
