@@ -291,6 +291,12 @@ def main(argv=None):
                          "TRAINING only — the periodic evaluator still runs "
                          "at the model's nominal level (train hard, test "
                          "easy: hardens hover against gust-tail failures)")
+    ap.add_argument("--eval-turb-level", type=int, default=None,
+                    help="turbulence level of the periodic evaluator when "
+                         "it should differ from --turb-level's "
+                         "train-hard/select-nominal default — e.g. train "
+                         "at 3, SELECT at 2 to best-track turbulence "
+                         "robustness itself")
     ap.add_argument("--eval-start-band", action="store_true",
                     help="with --rand-start-alt LO:HI and --eval-every: "
                          "evaluate on a deterministic linspace(LO, HI) "
@@ -372,16 +378,22 @@ def main(argv=None):
         env = env.replace(task=task)
         label += f"@{args.target}"
     eval_env = None
+    import dataclasses as _dc
     if args.turb_level is not None:
         # robustness curriculum: TRAIN under stronger Dryden turbulence,
         # select/report at the model's nominal level (aw109.yaml TURB_LVL=1,
         # MIL-HDBK-1797 scale 1..7). Mean wind is unchanged, so the trim
         # (and its disk cache) is shared between the two envs.
-        import dataclasses as _dc
         eval_env = env
         env = env.replace(wind_params=_dc.replace(
             env.wind_params, turbulence_level=args.turb_level))
         label += f"+turb{args.turb_level}"
+    if args.eval_turb_level is not None:
+        # select at a non-nominal level (train at 3, select at 2: the
+        # best-tracked metric is then turbulence robustness itself)
+        eval_env = (eval_env or env).replace(wind_params=_dc.replace(
+            env.wind_params, turbulence_level=args.eval_turb_level))
+        label += f"/ev{args.eval_turb_level}"
     import math as _math
     vel_tn = vel_te = 0.0
     if args.vel_shaping:
