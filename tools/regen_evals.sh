@@ -27,7 +27,7 @@ $E --checkpoint examples/landing25_policy.npz --task landing \
    --target touch_alt=ground --train-num-envs 1024 --start-alt 25 \
    --json-out examples/landing25_eval.json
 $E --checkpoint examples/landing_band_policy.npz --task landing \
-   --target touch_alt=ground --train-num-envs 4096 --start-band 6:55 \
+   --target touch_alt=ground --train-num-envs 2048 --start-band 6:55 \
    --json-out examples/landing_band_eval.json
 $E --checkpoint examples/landing100_policy.npz --task landing \
    --target touch_alt=ground --train-num-envs 4096 --start-band 6:100 \
