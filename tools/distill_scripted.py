@@ -65,6 +65,9 @@ def main(argv=None):
                     help="exploration noise around the acting policy "
                          "during collection (both phases)")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--replay", type=int, default=1,
+                    help="fit on the last N rounds' datasets concatenated "
+                         "(true-DAgger aggregation; 1 = current round only)")
     ap.add_argument("--bc-lr", type=float, default=3e-4)
     ap.add_argument("--minibatch", type=int, default=65536)
     ap.add_argument("--eval-episodes", type=int, default=256)
@@ -198,6 +201,7 @@ def main(argv=None):
     history = [{"round": 0, **r0}]
 
     total = args.bc_rounds + args.dagger_rounds
+    replay = []   # (obs, label, w) of the last --replay rounds
     for rnd in range(1, total + 1):
         phase = "bc" if rnd <= args.bc_rounds else "dagger"
         collect = collect_bc if phase == "bc" else collect_dagger
@@ -209,6 +213,10 @@ def main(argv=None):
         if kept < 1.0:
             print("no labeled steps - stopping", flush=True)
             break
+        replay = (replay + [(obs, label, w)])[-max(1, args.replay):]
+        if len(replay) > 1:   # concat along the episode axis (same T)
+            obs, label, w = (jnp.concatenate(parts, axis=1)
+                             for parts in zip(*replay))
         ts, l = fitter(ts, obs, label, w, epochs=args.epochs, key=k_f)
         ev = evaluator(ts, eval_key)
         print(f"round {rnd} [{phase}]: bc_loss={l:.5f} det "
